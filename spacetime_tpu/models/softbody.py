@@ -1,0 +1,76 @@
+"""Softbody model: the jitted stepping API over the ops layer.
+
+The functional analog of `SoftbodyState` (reference:
+src/twoplusone/softbody/mod.rs:191-221) — but where the reference owns
+buffers, descriptor sets and command recording, this owns only *static
+configuration* (capacity-derived table sizes, parameters); the state itself
+is a `Particles` pytree threaded through pure jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DEFAULT_PARAMS, PhysicsParams
+from ..ops import grid as grid_ops
+from ..ops import rk4 as rk4_ops
+from ..state import Particles
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftbodyModel:
+    """Static config + compiled step for a fixed particle capacity."""
+
+    capacity: int
+    params: PhysicsParams = DEFAULT_PARAMS
+    table_size: Optional[int] = None
+    # Two interpenetrating lattices can pack 8 particles per 0.005-cell
+    # (4 each at 0.0035 spacing); 12 leaves headroom for hash collisions.
+    cell_capacity: int = 12
+    integrator: str = "rk4"
+
+    def __post_init__(self):
+        if self.table_size is None:
+            object.__setattr__(self, "table_size", grid_ops.default_table_size(self.capacity))
+
+    def rest_lengths(self) -> jax.Array:
+        return jnp.asarray(self.params.rest_lengths())
+
+    @partial(jax.jit, static_argnames=("self",))
+    def step(self, particles: Particles) -> tuple[Particles, rk4_ops.StepAux]:
+        """One physics frame (grid rebuild + RK4) — `submit_per_frame_compute`
+        (reference: softbody/mod.rs:557-596)."""
+        return rk4_ops.physics_step(
+            particles,
+            self.params,
+            self.rest_lengths(),
+            self.table_size,
+            self.cell_capacity,
+            self.integrator,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "n_steps"))
+    def step_n(self, particles: Particles, n_steps: int) -> tuple[Particles, rk4_ops.StepAux]:
+        """`n_steps` frames fused into one XLA program via lax.scan —
+        the TPU-native equivalent of queueing multiple physics submissions
+        without host round-trips."""
+
+        def body(p, _):
+            p, aux = rk4_ops.physics_step(
+                p,
+                self.params,
+                self.rest_lengths(),
+                self.table_size,
+                self.cell_capacity,
+                self.integrator,
+            )
+            return p, aux
+
+        particles, auxs = jax.lax.scan(body, particles, None, length=n_steps)
+        last = jax.tree.map(lambda a: a[-1], auxs)
+        return particles, last

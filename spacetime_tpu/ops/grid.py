@@ -1,0 +1,143 @@
+"""Hashed uniform collision grid, rebuilt every step.
+
+The reference builds a Sebastian-Lague-style spatial hash on the GPU with
+three passes — FILL_LOOKUP writes (cell_key, particle_idx) pairs, a
+host-orchestrated bitonic merge sort over log^2(n) dispatches sorts them, and
+UPDATE_START_INDICES marks the first occurrence of each key
+(reference: src/twoplusone/softbody/collision_grid_update.glsl:49-98, host
+sort ladder src/twoplusone/softbody/mod.rs:707-767).
+
+TPU-native redesign: one `jax.lax.sort_key_val` (XLA's fused on-device sort
+replaces the 55-dispatch bitonic ladder), a scatter-min for start indices, a
+scatter-add for cell counts, and a *fixed-capacity* candidate gather so the
+downstream force kernel is fully regular (no data-dependent loops — the
+do/while scan at softbodyrk4.glsl:96-113 becomes a masked (9*K,) gather).
+
+A further semantic win: candidate *indices* are computed once per step from
+the start-of-step positions, exactly matching the reference, which rebuilds
+the grid after the previous step and reuses it for all five RK4 stages
+(reference: src/twoplusone/softbody/mod.rs:557-596).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PhysicsParams
+
+# 9-cell neighborhood offsets, i = 0..8, i=4 is (0,0)
+# (reference: softbodyrk4.glsl:93-94).
+_NEIGHBOR_CELLS = [((i % 3) - 1, (i // 3) - 1) for i in range(9)]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CollisionGrid:
+    """Sorted spatial lookup (the reference's spatial_lookup/start_indices
+    pair, collision_grid_update.glsl:20-30) plus per-key counts."""
+
+    sorted_idx: jax.Array  # (N,) i32 — particle indices sorted by cell key
+    starts: jax.Array  # (table_size + 1,) i32 — first slot per key (N if empty)
+    counts: jax.Array  # (table_size + 1,) i32 — particles per key
+    keys: jax.Array  # (N,) i32 — cell key per particle (unsorted)
+
+    @property
+    def table_size(self) -> int:
+        return self.starts.shape[0] - 1
+
+
+def hash_cell(cell: jax.Array, table_mask: int) -> jax.Array:
+    """Hash integer cell coords (..., 2) to a table key.
+
+    Replaces the reference's `abs(x)*15823 + abs(y)*9737333 % n` hash
+    (reference: src/twoplusone/common.glsl:35-39) — whose abs() folds
+    negative coordinates onto positive ones — with a standard two-prime
+    xor mix that treats signed coordinates distinctly.
+    """
+    x = cell[..., 0].astype(jnp.uint32)
+    y = cell[..., 1].astype(jnp.uint32)
+    h = x * jnp.uint32(0x9E3779B1) ^ (y * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> jnp.uint32(15))
+    return (h & jnp.uint32(table_mask)).astype(jnp.int32)
+
+
+def cell_of(pos: jax.Array, grid_resolution: float) -> jax.Array:
+    """Integer cell coordinates (reference: softbodyrk4.glsl:91)."""
+    return jnp.floor(pos / grid_resolution).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("table_size",))
+def build_grid(pos: jax.Array, active: jax.Array, grid_resolution, table_size: int) -> CollisionGrid:
+    """Bin particles into the hashed grid.  `table_size` must be a power of 2.
+
+    Inactive (padding) particles get the out-of-range key == table_size so
+    they sort to the end and are never returned by queries.
+    """
+    n = pos.shape[0]
+    assert table_size & (table_size - 1) == 0, "table_size must be a power of two"
+    key = hash_cell(cell_of(pos, grid_resolution), table_size - 1)
+    key = jnp.where(active, key, table_size)
+    sorted_key, sorted_idx = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    starts = jnp.full((table_size + 1,), n, jnp.int32)
+    starts = starts.at[sorted_key].min(jnp.arange(n, dtype=jnp.int32))
+    counts = jnp.zeros((table_size + 1,), jnp.int32).at[key].add(1)
+    return CollisionGrid(sorted_idx=sorted_idx, starts=starts, counts=counts, keys=key)
+
+
+def collision_candidates(
+    grid: CollisionGrid,
+    pos: jax.Array,
+    grid_resolution,
+    cell_capacity: int,
+) -> tuple[jax.Array, jax.Array]:
+    """For each particle, gather candidate indices from its 9-cell
+    neighborhood (reference: softbodyrk4.glsl:90-114), capped at
+    `cell_capacity` per hash key.
+
+    Returns (cand_idx (N, 9*K) i32, cand_valid (N, 9*K) bool).  Capping is the
+    price of regularity; `grid_overflow` reports how many were dropped so
+    callers/tests can size K.
+    """
+    n = pos.shape[0]
+    k = cell_capacity
+    table_mask = grid.table_size - 1
+    cell = cell_of(pos, grid_resolution)
+    offs = jnp.array(_NEIGHBOR_CELLS, jnp.int32)  # (9, 2)
+    nbr_keys = hash_cell(cell[:, None, :] + offs[None, :, :], table_mask)  # (N, 9)
+    # Dedupe hash keys among the 9 cells: when two distinct neighbor cells
+    # collide to one key, scanning that bucket twice would double-count every
+    # candidate in it.  (The reference HAS this double-count — its do/while
+    # rescans the shared bucket per colliding cell, softbodyrk4.glsl:93-114 —
+    # we deliberately fix it; the dense oracle defines correct physics.)
+    first_occurrence = jnp.ones_like(nbr_keys, bool)
+    for a in range(1, 9):
+        dup = jnp.zeros(nbr_keys.shape[:1], bool)
+        for b in range(a):
+            dup = dup | (nbr_keys[:, a] == nbr_keys[:, b])
+        first_occurrence = first_occurrence.at[:, a].set(~dup)
+    s = grid.starts[nbr_keys]  # (N, 9)
+    c = jnp.where(first_occurrence, grid.counts[nbr_keys], 0)  # (N, 9)
+    j = jnp.arange(k, dtype=jnp.int32)
+    slot = s[:, :, None] + j[None, None, :]  # (N, 9, K)
+    valid = j[None, None, :] < jnp.minimum(c[:, :, None], k)
+    cand = grid.sorted_idx[jnp.clip(slot, 0, n - 1)]
+    return cand.reshape(n, 9 * k), valid.reshape(n, 9 * k)
+
+
+def grid_overflow(grid: CollisionGrid, cell_capacity: int) -> jax.Array:
+    """Total candidates dropped by the capacity cap (diagnostic)."""
+    over = jnp.maximum(grid.counts[:-1] - cell_capacity, 0)
+    return jnp.sum(over)
+
+
+def default_table_size(capacity: int) -> int:
+    """2x next-pow2(N): halves hash-collision rate vs the reference's
+    table_size == num_particles (common.glsl:38)."""
+    size = 1
+    while size < capacity:
+        size *= 2
+    return size * 2
