@@ -1,0 +1,131 @@
+"""Headline benchmark: 10k-particle softbody step + 1080p retarded-time
+render, fused, on one chip (BASELINE.json config 3 / north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured fps / 60 (the north-star target: >= 60 fps for
+step + 1080p retarded render on a single v5e — the reference publishes no
+numbers of its own, BASELINE.md).
+
+Extra sub-metrics (steps/sec physics only, Mrays/sec) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def build():
+    from spacetime_tpu import scene
+    from spacetime_tpu.camera import Camera
+    from spacetime_tpu.models.softbody import SoftbodyModel
+    from spacetime_tpu.ops import raytrace
+    from spacetime_tpu.ops import worldline as wl
+
+    width, height = 1920, 1080
+    history = 1024
+
+    sb = scene.SceneBuilder()
+    sb.add(
+        scene.disc_softbody(scene.radius_for_count(5000), 0, (0.35, 0.40), (0.45, 0.10)),
+        base_color=(0.25, 0.35, 1.0),
+    )
+    sb.add(
+        scene.disc_softbody(scene.radius_for_count(5000), 1, (1.05, 0.55), (-0.45, -0.10)),
+        base_color=(1.0, 0.3, 0.25),
+    )
+    particles, objects = sb.build()
+    model = SoftbodyModel(capacity=particles.capacity)
+    buf = wl.create(history, particles.capacity)
+    buf = wl.push_frame(buf, particles, 0.0)
+    cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
+    params = raytrace.RenderParams(
+        dt=model.params.h, pair_capacity=65536, num_rays=4096
+    )
+
+    def frame(particles, buf, cam, t):
+        particles, _aux = model.step(particles)
+        buf = wl.push_frame(buf, particles, t)
+        img = raytrace.render_retarded(
+            buf, particles.object_index, objects, cam, width, height, params
+        )
+        return particles, buf, img
+
+    def step_only(particles):
+        new, _aux = model.step(particles)
+        return new
+
+    return (
+        jax.jit(frame),
+        jax.jit(step_only),
+        particles,
+        buf,
+        cam,
+        model,
+        (width, height),
+    )
+
+
+def main():
+    frame, step_only, particles, buf, cam, model, (width, height) = build()
+    h = model.params.h
+    n_active = int(particles.num_active())
+    print(f"# particles: {n_active}, image: {width}x{height}", file=sys.stderr)
+
+    # warmup / fill history past the view radius (compile included)
+    t = 0.0
+    p, b = particles, buf
+    t0 = time.perf_counter()
+    for i in range(8):
+        t += h
+        p, b, img = frame(p, b, cam, jnp.float32(t))
+    jax.block_until_ready(img)
+    print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # timed fused frames
+    n_frames = 50
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        t += h
+        p, b, img = frame(p, b, cam, jnp.float32(t))
+    jax.block_until_ready(img)
+    dt_frame = (time.perf_counter() - t0) / n_frames
+    fps = 1.0 / dt_frame
+
+    # physics-only steps/sec
+    p2 = particles
+    p2 = step_only(p2)
+    jax.block_until_ready(p2)
+    n_steps = 100
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p2 = step_only(p2)
+    jax.block_until_ready(p2)
+    sps = n_steps / (time.perf_counter() - t0)
+
+    mrays = width * height * fps / 1e6
+    print(
+        f"# fused frame: {dt_frame*1e3:.2f} ms ({fps:.1f} fps); "
+        f"physics-only: {sps:.0f} steps/s; retarded render: {mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "fused 10k-particle step + 1080p retarded-time render",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

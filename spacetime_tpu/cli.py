@@ -1,0 +1,81 @@
+"""Command-line runner: headless frames, PNG dumps, stats, checkpoints.
+
+The reference has no CLI (a hard-coded windowed demo, SURVEY.md §5); this is
+the headless equivalent of its app loop plus the config system it lacked.
+
+Usage:
+    python -m spacetime_tpu --config single_blob --frames 60 --out /tmp/frames
+    python -m spacetime_tpu --config two_body_collision --frames 30 --stats
+    python -m spacetime_tpu --config flagship_1080p --frames 10 --save ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="spacetime_tpu", description=__doc__)
+    ap.add_argument("--config", default="single_blob",
+                    help="named config (see utils/config.py) ")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--out", default=None, help="directory for PNG frames")
+    ap.add_argument("--every", type=int, default=1, help="dump every Nth frame")
+    ap.add_argument("--mode", default=None,
+                    choices=[None, "retarded", "points", "instant"])
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--stats", action="store_true", help="print stats JSON")
+    ap.add_argument("--save", default=None, help="checkpoint path to write")
+    ap.add_argument("--load", default=None, help="checkpoint path to resume")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace to max_fps (reference: main.rs:78-83)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from .engine import Engine, save_png
+    from .utils.config import get_config
+
+    cfg = get_config(args.config)
+    overrides = {}
+    if args.mode:
+        overrides["render_mode"] = args.mode
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    eng = Engine(cfg)
+    if args.load:
+        eng.load_checkpoint(args.load)
+
+    on_frame = None
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+        def on_frame(i, img):
+            if i % args.every == 0:
+                save_png(os.path.join(args.out, f"frame_{i:05d}.png"), img)
+
+    summary = eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
+    if args.save:
+        eng.save_checkpoint(args.save)
+    if args.stats or not args.out:
+        print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

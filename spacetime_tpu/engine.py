@@ -1,0 +1,283 @@
+"""Engine: the frame loop tying physics, worldlines and rendering together.
+
+The analog of the reference's winit app loop (reference: src/main.rs:63-352):
+per frame it (1) steps physics, (2) pushes the new tick into the worldline
+ring buffer (the meshgen submission slot, main.rs:266-272), (3) renders, and
+(4) collects frame/stage stats (the timestamp-query readback, main.rs:262-264).
+
+Differences by design:
+  * Headless-first: frames are returned/saved as arrays; an interactive
+    viewer is a thin wrapper (viewer.py).  Frame pacing (`WaitUntil` to the
+    max-FPS budget, main.rs:78-83) applies only in interactive mode.
+  * The reference overlaps one in-flight physics submission with the next
+    frame's render via fences (main.rs:253-260, 334-339).  Here JAX's async
+    dispatch gives the same overlap: `step`/`render` calls enqueue device
+    work and the host only blocks when a frame is fetched.
+  * Pause (reference: keyboard 'p', main.rs:334-339) skips physics but keeps
+    rendering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import scene as scene_mod
+from .camera import Camera, CameraController
+from .models.softbody import SoftbodyModel
+from .ops import rasterize, raytrace
+from .ops import worldline as wl
+from .state import Objects, Particles
+from .utils import logging as logmod
+from .utils.config import EngineConfig, SceneSpec
+from .utils.stats import FramePerfStats, StatsWindow
+
+
+def build_scene(spec: SceneSpec):
+    sb = scene_mod.SceneBuilder()
+    for i, (kind, count, offset, vel, rgb) in enumerate(spec.bodies):
+        if kind == "disc":
+            body = scene_mod.disc_softbody(
+                scene_mod.radius_for_count(count), i, offset, vel
+            )
+        elif kind == "box":
+            body = scene_mod.mask_to_softbody(
+                scene_mod.box_mask(count[0], count[1]), i, offset, vel
+            )
+        else:
+            raise ValueError(f"unknown body kind {kind!r}")
+        sb.add(body, base_color=rgb)
+    return sb.build(spec.capacity)
+
+
+class Engine:
+    """Owns state + compiled step/render; drives the frame loop."""
+
+    def __init__(self, config: EngineConfig, particles: Optional[Particles] = None,
+                 objects: Optional[Objects] = None, aloof_bodies=()):
+        self.log = logmod.initialize()
+        self.config = config
+        if particles is None:
+            particles, objects = build_scene(config.scene)
+        if aloof_bodies:
+            particles, objects = self._reserve_aloof_slots(
+                particles, objects, aloof_bodies
+            )
+        self.aloof_bodies = tuple(aloof_bodies)
+        self.particles = particles
+        self.objects = objects
+        self.model = SoftbodyModel(capacity=particles.capacity, params=config.physics)
+        self.worldline = wl.create(config.history, particles.capacity)
+        self.camera = Camera.create(config.cam_pos, config.cam_zoom, config.cam_vel)
+        self.controller = CameraController()
+        self.time = 0.0
+        self.frame = 0
+        self.paused = False
+        self.stats = StatsWindow()
+        self.last_aux = None
+        # Prime the FULL history with inertially-extrapolated past states (the
+        # reference's analog is its pre-frame-0 warm-up, main.rs:137-153;
+        # without this, retarded visibility would ramp in over `history`
+        # frames from a cold start).
+        self._inject_aloof()
+        present = self.present if self.present is not None else self.particles.active
+        self.worldline = wl.prefill_inertial(
+            self.worldline, self.particles.pos, self.particles.vel, present,
+            jnp.float32(self.time), jnp.float32(config.physics.h),
+        )
+        self.log.debug(
+            "engine created: %d particles, history %d, %dx%d %s",
+            int(self.particles.num_active()), config.history,
+            config.width, config.height, config.render_mode,
+        )
+
+    # -- aloofbodies ----------------------------------------------------------
+
+    def _reserve_aloof_slots(self, particles, objects, aloof_bodies):
+        """Grow the particle arrays with physics-inactive slots for aloof
+        points (reference intent: twoplusone/mod.rs:64-65), assigning each
+        body its object index for shading."""
+        import numpy as np
+        from .state import pack_particles
+
+        n_soft = int(particles.num_active())
+        total_aloof = sum(b.num_points for b in aloof_bodies)
+        cap = particles.capacity
+        needed = n_soft + total_aloof
+        if needed > cap:
+            cap = ((needed + 255) // 256) * 256
+        act = np.asarray(particles.active)
+        pos = np.asarray(particles.pos)[act]
+        vel = np.asarray(particles.vel)[act]
+        nbr = np.asarray(particles.neighbors)[act]
+        obj = np.asarray(particles.object_index)[act]
+        # aloof slots appended after softbody particles
+        a_pos = np.full((total_aloof, 2), 1e9, np.float32)
+        a_vel = np.zeros((total_aloof, 2), np.float32)
+        a_nbr = np.full((total_aloof, 8), -1, np.int32)
+        a_obj = np.concatenate(
+            [np.full(b.num_points, b.object_index, np.int32) for b in aloof_bodies]
+        )
+        new = pack_particles(
+            np.concatenate([pos, a_pos]),
+            np.concatenate([vel, a_vel]),
+            np.concatenate([nbr, a_nbr]),
+            np.concatenate([obj, a_obj]),
+            capacity=cap,
+        )
+        # aloof slots are render-present but physics-inactive
+        active = np.zeros(cap, bool)
+        active[:n_soft] = True
+        self._aloof_slice = (n_soft, n_soft + total_aloof)
+        present = active.copy()
+        present[n_soft : n_soft + total_aloof] = True
+        self._present = jnp.asarray(present)
+        new = dataclasses.replace(new, active=jnp.asarray(active))
+        return new, objects
+
+    def _inject_aloof(self) -> None:
+        if not self.aloof_bodies:
+            return
+        lo, hi = self._aloof_slice
+        pos = np.concatenate([b.state_at(self.time)[0] for b in self.aloof_bodies])
+        vel = np.concatenate([b.state_at(self.time)[1] for b in self.aloof_bodies])
+        self.particles = dataclasses.replace(
+            self.particles,
+            pos=self.particles.pos.at[lo:hi].set(jnp.asarray(pos)),
+            vel=self.particles.vel.at[lo:hi].set(jnp.asarray(vel)),
+        )
+
+    @property
+    def present(self):
+        return getattr(self, "_present", None)
+
+    # -- frame loop ---------------------------------------------------------
+
+    def step_physics(self) -> None:
+        for _ in range(self.config.steps_per_frame):
+            self.particles, self.last_aux = self.model.step(self.particles)
+            self.time += self.config.physics.h
+            self._inject_aloof()
+            self.worldline = wl.push_frame(
+                self.worldline, self.particles, self.time, present=self.present
+            )
+
+    def update_camera_kinematics(self, dt: float) -> None:
+        """Relativistic camera motion for the accelerated-observer config:
+        proper acceleration integrated with velocity clamped below c."""
+        ax, ay = self.config.cam_accel
+        if ax == 0.0 and ay == 0.0:
+            self.camera = Camera(
+                pos=self.camera.pos + self.camera.vel * dt,
+                zoom=self.camera.zoom,
+                vel=self.camera.vel,
+            )
+            return
+        v = self.camera.vel
+        g = 1.0 / jnp.sqrt(jnp.maximum(1.0 - jnp.sum(v * v), 1e-9))
+        # dv/dt = a / gamma^3 for rectilinear proper acceleration
+        new_v = v + jnp.asarray([ax, ay], jnp.float32) * dt / g**3
+        speed = jnp.linalg.norm(new_v)
+        new_v = jnp.where(speed >= 0.999, new_v / speed * 0.999, new_v)
+        self.camera = Camera(
+            pos=self.camera.pos + new_v * dt, zoom=self.camera.zoom, vel=new_v
+        )
+
+    def render(self) -> jax.Array:
+        cfg = self.config
+        mode = cfg.render_mode
+        if mode == "points":
+            return rasterize.render_points(
+                self.particles, self.objects, self.camera, cfg.width, cfg.height
+            )
+        if mode == "retarded":
+            return raytrace.render_retarded(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, cfg.width, cfg.height, cfg.render,
+            )
+        if mode == "instant":
+            params = dataclasses.replace(cfg.render, opaque=False, retarded=False)
+            return raytrace.render_retarded(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, cfg.width, cfg.height, params,
+            )
+        raise ValueError(f"unknown render mode {mode!r}")
+
+    def run_frame(self, keys: Optional[Dict] = None) -> jax.Array:
+        """One full frame: camera -> physics -> worldline -> render -> stats."""
+        t0 = time.perf_counter()
+        frame_dt = self.config.physics.h * self.config.steps_per_frame
+        if keys:
+            self.camera = self.controller.update(self.camera, keys, frame_dt)
+            if keys.get("p"):
+                self.paused = not self.paused
+        self.update_camera_kinematics(frame_dt)
+        t1 = time.perf_counter()
+        if not self.paused:
+            self.step_physics()
+        t2 = time.perf_counter()
+        img = self.render()
+        t3 = time.perf_counter()
+        self.frame += 1
+        self.stats.add(
+            FramePerfStats(
+                step_time=t2 - t1,
+                worldline_time=0.0,  # fused into step_physics (push_frame)
+                render_time=t3 - t2,
+                frame_time=t3 - t0,
+            )
+        )
+        return img
+
+    def run(
+        self,
+        n_frames: int,
+        on_frame: Optional[Callable[[int, jax.Array], None]] = None,
+        realtime: bool = False,
+    ) -> Dict[str, float]:
+        """Headless loop; `realtime` enables max-FPS pacing
+        (reference: main.rs:78-83 WaitUntil scheduling)."""
+        budget = 1.0 / self.config.max_fps
+        for i in range(n_frames):
+            start = time.perf_counter()
+            img = self.run_frame()
+            if on_frame is not None:
+                on_frame(i, img)
+            if realtime:
+                elapsed = time.perf_counter() - start
+                if elapsed < budget:
+                    time.sleep(budget - elapsed)
+        return self.stats.summary()
+
+    # -- persistence --------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        from .utils import checkpoint
+
+        checkpoint.save(
+            path,
+            (self.particles, self.worldline, self.camera),
+            {"time": self.time, "frame": self.frame},
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        from .utils import checkpoint
+
+        (self.particles, self.worldline, self.camera), meta = checkpoint.load(
+            path, (self.particles, self.worldline, self.camera)
+        )
+        self.time = float(meta["time"])
+        self.frame = int(meta["frame"])
+
+
+def save_png(path: str, img) -> None:
+    """Write an (H, W, 3) [0,1] array as PNG."""
+    from PIL import Image
+
+    arr = np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    Image.fromarray(arr).save(path)

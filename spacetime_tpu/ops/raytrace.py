@@ -1,0 +1,461 @@
+"""Retarded-time raytracer over the worldline ring buffer.
+
+This implements the capability the reference left as an empty stub
+(reference: src/twoplusone/worldline/raytrace.glsl:11-21 — bindings and a
+resources list, no code): Lorentz-correct retarded-time visibility per the
+north star in BASELINE.json.
+
+Physical model.  The world is 2D; the image is the standard top-down "god
+view" map of the plane (same convention as the reference's debug point
+renderer), but what is shown at map point ``p`` is what an observer at the
+camera position ``c`` actually *sees* of ``p`` at coordinate time ``t_now``:
+the event ``(p, t_now - |p - c|)`` on the camera's past light cone.  A pixel
+ray in (x, y, t) runs from the camera event along direction ``(d_hat, -1)``
+— slope c, exactly the construction sketched in SURVEY.md §5.
+
+Geometry.  Softbodies are unions of radius-``rho`` discs centered on
+particles; between stored ticks each disc sweeps a linear capsule in
+(x, y, t).  Ray-capsule intersection is closed form: with ``tau`` the within-
+segment time fraction, both the ray point and the particle position are
+affine in ``tau``, so squared distance is quadratic — one clamp + one
+division per candidate.  This replaces the reference's unfinished
+boundary-mesh + BVH design (worldline/mod.rs:37-44,
+object_archive.txt:249-287) with something exact for the disc-union geometry
+and fully regular on TPU.
+
+Acceleration structure (TPU-native: no BVH, no dynamic stacks):
+  1. *Annulus candidate compaction* — a (slot, particle) segment can only
+     meet the light cone where its camera-distance interval overlaps its
+     retarded-radius interval: a vectorized (T, N) mask compacting to ~3N
+     pairs (each worldline crosses the cone once, staying near it O(1) ticks).
+  2. *Spatial hashing of pairs* — compacted pairs splat into the <=3x3 hashed
+     uniform-grid cells their reach disc touches (one `lax.sort`, the
+     collision-grid machinery reapplied to the cone-crossing set).  The
+     annulus property is what makes this work: at any map location only ~2-3
+     ticks' worth of worldline segments are cone-crossing, so per-cell counts
+     are bounded by LOCAL particle density — uniform in radius, no near-field
+     special case, and no time dimension needed in the table.
+  3. *1D retina* — the camera is a point, so occlusion needs one first-hit
+     march per ANGLE (``num_rays``), not per pixel.  Rays test the compacted
+     pair list directly as a dense chunked broadcast (no gathers, exact).
+  4. *Per-pixel retarded occupancy* — each pixel gathers exactly ONE hash
+     cell (cell size >= 2x capsule reach guarantees single-cell coverage) to
+     decide whether its own light-cone event is inside matter and which
+     particle shades it.
+
+Total work is O(T*N mask + pairs log pairs + rays*pairs + pixels*capacity) —
+independent of history length per pixel.
+
+Shading: special-relativistic Doppler (source motion composed with observer
+motion) with an approximate spectral shift of the RGB channels, plus
+headlight beaming ``D**3`` (bolometric intensity boost), per BASELINE
+configs 3-4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import relativity
+from ..camera import Camera, pixel_centers
+from ..state import Objects
+from .worldline import WorldlineBuffer
+
+_BIG = jnp.float32(3.0e38)
+_PI = jnp.float32(jnp.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Static renderer configuration (hashable -> jit static arg)."""
+
+    dt: float = 0.005  # history tick spacing (= PhysicsParams.h if pushed every step)
+    rho: float = 0.0026  # particle render radius; >= half diagonal spacing fills interiors
+    pair_capacity: int = 16384  # max compacted cone-crossing segments
+    bin_capacity: int = 64  # candidates per spatial hash cell
+    table_factor: int = 4  # hash table size = table_factor * pair_capacity
+    num_rays: int = 2048  # 1D retina resolution (occlusion only)
+    ray_chunk: int = 2048  # pairs per scan chunk in the retina march
+    opaque: bool = True  # False = x-ray: no occlusion shading
+    retarded: bool = True  # False = instantaneous view of the newest tick
+    doppler: bool = True
+    beaming: bool = True
+    doppler_strength: float = 1.0
+    ambient: float = 0.15  # fraction of unshifted base color mixed in
+    absorbed_dim: float = 0.35  # brightness of matter hidden behind other matter
+    shadow: float = 0.78  # background brightness in occluded regions
+
+    @property
+    def cell_size(self) -> float:
+        """Hash cell edge; >= 2x max capsule reach (rho + c*dt/2) so a pixel's
+        own cell is guaranteed to contain every capsule that can cover it."""
+        return 2.0 * (self.rho + 0.5 * self.dt)
+
+
+class RenderDiag(NamedTuple):
+    pairs_used: jax.Array  # compacted cone-crossing segment count
+    pairs_dropped: jax.Array  # pairs beyond pair_capacity
+    bin_dropped: jax.Array  # splat entries beyond bin_capacity
+
+
+# ---------------------------------------------------------------------------
+# Shading
+# ---------------------------------------------------------------------------
+
+
+def doppler_shift_rgb(rgb, d_factor, strength=1.0):
+    """Approximate spectral shift: treat (r, g, b) as three frequency bands
+    (increasing) and translate energy across them by log2(D) channels;
+    radiation shifted outside the visible triplet dims to black."""
+    t = jnp.clip(jnp.log2(d_factor) * strength, -2.5, 2.5)[..., None]  # (..., 1)
+    out_idx = jnp.arange(3, dtype=jnp.float32)
+    src = out_idx - t  # (..., 3) fractional source channel
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = lo.astype(jnp.int32)
+
+    def sample(i):
+        in_range = (i >= 0) & (i <= 2)
+        v = jnp.take_along_axis(
+            jnp.broadcast_to(rgb, src.shape), jnp.clip(i, 0, 2), axis=-1
+        )
+        return jnp.where(in_range, v, 0.0)
+
+    return sample(lo_i) * (1.0 - frac) + sample(lo_i + 1) * frac
+
+
+def shade_hit(base_color, vel_event, n_hat, cam_vel, params: RenderParams):
+    """Color of matter seen at a retarded event.
+
+    `n_hat` (..., 2) is the photon propagation direction (event -> camera).
+    Total Doppler = source factor x moving-observer factor; a camera
+    co-moving with the source sees no shift (factors cancel exactly).
+    """
+    rgb = base_color
+    if params.doppler or params.beaming:
+        d = relativity.doppler_factor(vel_event, n_hat)
+        d = d * relativity.camera_doppler_factor(
+            jnp.broadcast_to(cam_vel, n_hat.shape), n_hat
+        )
+        if params.doppler:
+            rgb = doppler_shift_rgb(rgb, d, params.doppler_strength)
+        if params.beaming:
+            rgb = rgb * (d[..., None] ** 3)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return params.ambient * base_color + (1.0 - params.ambient) * rgb
+
+
+# ---------------------------------------------------------------------------
+# Segment math (shared by oracle and accelerated path)
+# ---------------------------------------------------------------------------
+
+
+def _segment_data(buf: WorldlineBuffer, dt: float):
+    """Per-(slot, particle) segment endpoints in time order.
+
+    Segment owned by slot k runs from (pos[k], times[k]) to
+    (pos[(k+1) % T], times[k] + dt); valid iff the next slot holds the
+    consecutive tick (ring wraparound and ramp-up slots fail this)."""
+    t_cap = buf.capacity
+    nxt = (jnp.arange(t_cap) + 1) % t_cap
+    qa, qb = buf.pos, buf.pos[nxt]  # (T, N, 2)
+    ta = buf.times
+    valid = jnp.isfinite(ta) & (jnp.abs(buf.times[nxt] - ta - dt) < 0.5 * dt)
+    return qa, qb, ta, valid
+
+
+def _ray_segment_hit(cam_pos, d_hat, qa, qb, ta, t_now, dt, rho):
+    """Ray from cam_pos along d_hat on the past light cone of (cam_pos,
+    t_now) vs one swept capsule.  Event times [ta, ta+dt] map to arclength
+    s = t_now - t in [s_hi - dt, s_hi], s_hi = t_now - ta.  Both ray point
+    and particle position are affine in the segment fraction tau, so the
+    squared distance |A - tau B|^2 minimizes in closed form.
+    Returns (hit, s_hit, tau)."""
+    s_hi = t_now - ta
+    a = cam_pos + s_hi[..., None] * d_hat - qa
+    b = dt * d_hat + (qb - qa)
+    bb = jnp.sum(b * b, axis=-1)
+    tau = jnp.clip(jnp.sum(a * b, axis=-1) / jnp.maximum(bb, 1e-20), 0.0, 1.0)
+    dvec = a - tau[..., None] * b
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    s_hit = s_hi - tau * dt
+    hit = (dist2 <= rho * rho) & (s_hit > 0.0)
+    return hit, s_hit, tau
+
+
+def _occupancy_at_event(p, t_e, qa, qb, ta, dt, rho):
+    """Is map point p inside this segment's capsule at event time t_e?
+    Returns (inside, dist2)."""
+    tau = (t_e - ta) / dt
+    in_time = (tau >= -0.001) & (tau <= 1.001)
+    tau_c = jnp.clip(tau, 0.0, 1.0)
+    q = qa + tau_c[..., None] * (qb - qa)
+    dvec = p - q
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    return in_time & (dist2 <= rho * rho), dist2
+
+
+def _compose(p, r, occupied, vel_e, obj_e, s_first_px, objects, cam, params):
+    """Shared shading/composition given per-pixel hit info (flat P pixels)."""
+    base = objects.base_color[obj_e]
+    n_hat = (cam.pos - p) / jnp.maximum(r, 1e-12)[..., None]  # event -> camera
+    shaded = shade_hit(base, vel_e, n_hat, cam.vel, params)
+    bg = jnp.ones_like(shaded)
+    if params.opaque and params.retarded:
+        blocked = s_first_px < (r - 2.0 * params.rho)
+        return jnp.where(
+            occupied[:, None],
+            jnp.where(blocked[:, None], shaded * params.absorbed_dim, shaded),
+            jnp.where(blocked[:, None], bg * params.shadow, bg),
+        )
+    return jnp.where(occupied[:, None], shaded, bg)
+
+
+# ---------------------------------------------------------------------------
+# Oracle renderer (exact, O(pixels * T * N) — tests / tiny scenes only)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params"))
+def render_retarded_brute(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,  # (N,) i32 object id per particle
+    objects: Objects,
+    cam: Camera,
+    width: int,
+    height: int,
+    params: RenderParams,
+) -> jax.Array:
+    """Reference renderer: every pixel tests every (slot, particle) segment.
+    Defines correct output for the accelerated path (SURVEY.md §4)."""
+    dt, rho = params.dt, params.rho
+    qa, qb, ta, seg_valid = _segment_data(buf, dt)
+    t_now = buf.times[buf.cursor]
+    t_cap, n = qa.shape[0], qa.shape[1]
+
+    p = pixel_centers(width, height, cam).reshape(-1, 2)
+    rel = p - cam.pos
+    r = jnp.linalg.norm(rel, axis=-1)
+    d_hat = rel / jnp.maximum(r, 1e-12)[..., None]
+
+    qa_f, qb_f = qa.reshape(-1, 2), qb.reshape(-1, 2)
+    ta_f = jnp.repeat(ta, n)
+    valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(qa_f[:, 0]) < 1e8)
+    obj_f = jnp.tile(obj_index, t_cap)
+    vel_f = buf.vel.reshape(-1, 2)
+
+    t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
+    inside, dist2 = _occupancy_at_event(
+        p[:, None, :], t_e[:, None], qa_f[None], qb_f[None], ta_f[None], dt, rho
+    )
+    inside = inside & valid_f[None, :]
+    dist2 = jnp.where(inside, dist2, _BIG)
+    best = jnp.argmin(dist2, axis=1)
+    occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
+
+    hit, s_hit, _ = _ray_segment_hit(
+        cam.pos, d_hat[:, None, :], qa_f[None], qb_f[None], ta_f[None], t_now, dt, rho
+    )
+    s_hit = jnp.where(hit & valid_f[None, :], s_hit, _BIG)
+    s_first = jnp.min(s_hit, axis=1)
+
+    img = _compose(
+        p, r, occupied, vel_f[best], obj_f[best], s_first, objects, cam, params
+    )
+    return img.reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Accelerated renderer
+# ---------------------------------------------------------------------------
+
+
+def _compact(mask_flat: jax.Array, capacity: int) -> tuple[jax.Array, jax.Array]:
+    """Indices of True entries, padded with -1 to `capacity` (stream
+    compaction via cumsum + scatter — the TPU version of an append buffer)."""
+    write_pos = jnp.cumsum(mask_flat) - 1
+    out = jnp.full((capacity,), -1, jnp.int32)
+    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(mask_flat, write_pos, capacity)].set(src, mode="drop")
+    count = jnp.sum(mask_flat.astype(jnp.int32))
+    return out, count
+
+
+def _render_retarded_impl(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    width: int,
+    height: int,
+    params: RenderParams,
+):
+    from . import grid as grid_ops
+
+    dt, rho = params.dt, params.rho
+    lam = params.cell_size
+    t_cap = buf.capacity
+    n = buf.num_particles
+    t_now = buf.times[buf.cursor]
+
+    qa, qb, ta, seg_valid = _segment_data(buf, dt)
+
+    # --- 1. annulus candidate mask over (T, N) ---
+    ra = jnp.linalg.norm(qa - cam.pos, axis=-1)  # (T, N)
+    rb = jnp.linalg.norm(qb - cam.pos, axis=-1)
+    s_hi = t_now - ta  # (T,)
+    s_lo = s_hi - dt
+    if params.retarded:
+        cand = (
+            seg_valid[:, None]
+            & (s_hi[:, None] > 0)
+            & (jnp.maximum(ra, rb) >= s_lo[:, None] - rho)
+            & (jnp.minimum(ra, rb) <= s_hi[:, None] + rho)
+            & (ra < 1.0e8)
+        )
+    else:
+        # instantaneous view: only the newest segment (age 1, tau = 1 at
+        # t_now) matters — "measured reality", the filled upgrade of the
+        # reference's debug point renderer (points_norel.glsl).
+        newest = (
+            jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
+        )
+        cand = seg_valid[:, None] & newest[:, None] & (ra < 1.0e8)
+
+    # --- 2. compact pairs + gather per-pair data ---
+    pcap = params.pair_capacity
+    pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
+    pair_valid = pair_sid >= 0
+    sid = jnp.maximum(pair_sid, 0)
+    slot, pidx = sid // n, sid % n
+    pqa = jnp.where(pair_valid[:, None], qa.reshape(-1, 2)[sid], 2.0e9)
+    pqb = jnp.where(pair_valid[:, None], qb.reshape(-1, 2)[sid], 2.0e9)
+    pta = ta[slot]
+    pvel = buf.vel.reshape(-1, 2)[sid]
+    pobj = obj_index[pidx]
+
+    # --- 3. spatial hash of pairs (cells of size lam >= 2 * max reach) ---
+    n_keys = params.table_factor * pcap  # power of two when pcap is
+    center = 0.5 * (pqa + pqb)
+    reach = rho + 0.5 * jnp.linalg.norm(pqb - pqa, axis=-1)  # (P,)
+    cell0 = grid_ops.cell_of(center, lam)  # (P, 2)
+    # splat into every cell of the 3x3 block whose box the reach disc touches
+    doffs = jnp.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32)
+    cells = cell0[:, None, :] + doffs[None, :, :]  # (P, 9, 2)
+    lo = cells.astype(jnp.float32) * lam
+    nearest = jnp.clip(center[:, None, :], lo, lo + lam)
+    d2cell = jnp.sum((nearest - center[:, None, :]) ** 2, axis=-1)  # (P, 9)
+    use = pair_valid[:, None] & (d2cell <= (reach[:, None] + 1e-6) ** 2)
+    key = jnp.where(use, grid_ops.hash_cell(cells, n_keys - 1), n_keys).reshape(-1)
+    val = jnp.broadcast_to(
+        jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, 9)
+    ).reshape(-1)
+    skey, sval = jax.lax.sort_key_val(key, val)
+    n_entries = skey.shape[0]
+    starts = jnp.full((n_keys + 1,), n_entries, jnp.int32)
+    starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
+    counts = jnp.zeros((n_keys + 1,), jnp.int32).at[key].add(1)
+    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - params.bin_capacity, 0))
+
+    # --- 4. 1D retina: exact first hit per angle, dense over all pairs ---
+    use_rays = params.opaque and params.retarded
+    n_rays = params.num_rays
+    theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
+    d_hat = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)  # (R, 2)
+    chunk = min(params.ray_chunk, pcap)
+    n_chunks = -(-pcap // chunk)
+    pad = n_chunks * chunk - pcap
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    cqa = pad0(pqa).reshape(n_chunks, chunk, 2)
+    cqb = pad0(pqb).reshape(n_chunks, chunk, 2)
+    cta = jnp.pad(pta, (0, pad)).reshape(n_chunks, chunk)
+    cok = jnp.pad(pair_valid, (0, pad)).reshape(n_chunks, chunk)
+
+    def ray_chunk_step(s_min, args):
+        a, b, t, ok = args
+        hit, s_hit, _ = _ray_segment_hit(
+            cam.pos, d_hat[:, None, :], a[None], b[None], t[None], t_now, dt, rho
+        )
+        s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
+        return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
+
+    if use_rays:
+        s_first, _ = jax.lax.scan(
+            ray_chunk_step, jnp.full((n_rays,), _BIG), (cqa, cqb, cta, cok)
+        )
+    else:
+        s_first = jnp.full((n_rays,), _BIG)
+
+    # --- 5. per-pixel retarded occupancy (one hash-cell gather) ---
+    p = pixel_centers(width, height, cam).reshape(-1, 2)
+    rel = p - cam.pos
+    r = jnp.linalg.norm(rel, axis=-1)
+    phi_p = jnp.arctan2(rel[:, 1], rel[:, 0])
+    t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
+    keys_p = grid_ops.hash_cell(grid_ops.cell_of(p, lam), n_keys - 1)  # (P,)
+    cap = params.bin_capacity
+    s = starts[keys_p]
+    c = jnp.minimum(counts[keys_p], cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    ok_p = j[None, :] < c[:, None]
+    pid_p = sval[jnp.clip(s[:, None] + j[None, :], 0, n_entries - 1)]  # (P, cap)
+    ok_p = ok_p & pair_valid[pid_p]
+    inside, dist2 = _occupancy_at_event(
+        p[:, None, :], t_e[:, None], pqa[pid_p], pqb[pid_p], pta[pid_p], dt, rho
+    )
+    inside = inside & ok_p
+    dist2 = jnp.where(inside, dist2, _BIG)
+    best = jnp.argmin(dist2, axis=1)
+    occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
+    best_pid = jnp.take_along_axis(pid_p, best[:, None], axis=1)[:, 0]
+
+    ray_of_pix = jnp.clip(
+        jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32), 0, n_rays - 1
+    )
+    s_first_px = s_first[ray_of_pix]
+
+    img = _compose(
+        p, r, occupied, pvel[best_pid], pobj[best_pid], s_first_px, objects, cam,
+        params,
+    ).reshape(height, width, 3)
+    diag = RenderDiag(
+        pairs_used=jnp.minimum(n_pairs, pcap),
+        pairs_dropped=jnp.maximum(n_pairs - pcap, 0),
+        bin_dropped=bin_dropped,
+    )
+    return img, diag
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params"))
+def render_retarded(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    width: int,
+    height: int,
+    params: RenderParams,
+) -> jax.Array:
+    img, _ = _render_retarded_impl(buf, obj_index, objects, cam, width, height, params)
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params"))
+def render_retarded_with_diag(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    width: int,
+    height: int,
+    params: RenderParams,
+):
+    return _render_retarded_impl(buf, obj_index, objects, cam, width, height, params)

@@ -1,0 +1,149 @@
+"""Engine + scene configuration.
+
+The reference has no runtime config at all — compile-time constants plus one
+live-tweakable max-FPS field in the debug UI (reference:
+src/twoplusone/mod.rs:12-38, src/debugui.rs:9-23).  SURVEY.md §5 calls a
+small config system a strict improvement, needed to express the five
+BASELINE.json benchmark configs; they are all constructible here by name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from ..constants import DEFAULT_PARAMS, PhysicsParams
+from ..ops.raytrace import RenderParams
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Procedural scene description (bodies = (kind, count, offset, vel, rgb))."""
+
+    bodies: Tuple[tuple, ...]
+    capacity: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    scene: SceneSpec
+    physics: PhysicsParams = DEFAULT_PARAMS
+    render: RenderParams = RenderParams()
+    width: int = 256
+    height: int = 256
+    history: int = 512  # worldline ring capacity (ticks)
+    cam_pos: Tuple[float, float] = (0.5, 0.5)
+    cam_zoom: float = 1.0
+    cam_vel: Tuple[float, float] = (0.0, 0.0)
+    cam_accel: Tuple[float, float] = (0.0, 0.0)  # Rindler-style proper accel (config 4)
+    max_fps: float = 72.0  # frame pacing target (reference: debugui.rs:21)
+    render_mode: str = "retarded"  # retarded | points | instant
+    steps_per_frame: int = 1
+
+
+def _blob(count, offset, vel, rgb):
+    return ("disc", count, tuple(offset), tuple(vel), tuple(rgb))
+
+
+BLUE = (0.25, 0.35, 1.0)
+RED = (1.0, 0.3, 0.25)
+
+
+def config_single_blob() -> EngineConfig:
+    """BASELINE config 1: single softbody blob, flat 2+1 Minkowski, static
+    camera, 256x256 render (testimg3-scale: 3 965 particles)."""
+    return EngineConfig(
+        scene=SceneSpec(bodies=(_blob(3965, (0.35, 0.35), (0.1, 0.1), BLUE),)),
+        width=256,
+        height=256,
+        history=384,
+    )
+
+
+def config_two_body_collision() -> EngineConfig:
+    """BASELINE config 2: two colliding softbodies at relativistic closing
+    speed, 512x512, retarded-time visibility on (the reference demo scene
+    geometry, twoplusone/mod.rs:86-113, at testimg3 scale per body)."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(4000, (0.30, 0.30), (0.25, 0.25), BLUE),
+                _blob(4000, (0.95, 0.85), (-0.25, -0.25), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.65, 0.6),
+    )
+
+
+def config_flagship_1080p() -> EngineConfig:
+    """BASELINE config 3 (headline bench): 10k-particle softbody, 1080p, full
+    Doppler + aberration shading, long worldline history."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(5000, (0.35, 0.40), (0.45, 0.1), BLUE),
+                _blob(5000, (1.05, 0.55), (-0.45, -0.1), RED),
+            )
+        ),
+        render=RenderParams(pair_capacity=65536, num_rays=4096),
+        width=1920,
+        height=1080,
+        history=1024,
+        cam_pos=(0.7, 0.5),
+        cam_zoom=1.2,
+    )
+
+
+def config_accelerated_camera() -> EngineConfig:
+    """BASELINE config 4: accelerated (Rindler) camera sweep over a
+    multi-body scene; beaming + headlight effect."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(2000, (0.30, 0.35), (0.0, 0.15), BLUE),
+                _blob(2000, (0.75, 0.55), (0.0, -0.15), RED),
+                _blob(2000, (0.50, 0.80), (0.15, 0.0), (0.3, 0.9, 0.4)),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.2, 0.5),
+        cam_vel=(0.0, 0.0),
+        cam_accel=(0.5, 0.0),  # proper acceleration, c/s
+    )
+
+
+def config_conical_defect() -> EngineConfig:
+    """BASELINE config 5 (stretch): curved 2+1 spacetime — geodesic rays
+    around a conical-defect mass (see ops.curved)."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(3000, (0.25, 0.50), (0.0, 0.3), BLUE),
+                _blob(3000, (0.75, 0.50), (0.0, -0.3), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        render_mode="retarded",
+    )
+
+
+CONFIGS = {
+    "single_blob": config_single_blob,
+    "two_body_collision": config_two_body_collision,
+    "flagship_1080p": config_flagship_1080p,
+    "accelerated_camera": config_accelerated_camera,
+    "conical_defect": config_conical_defect,
+}
+
+
+def get_config(name: str) -> EngineConfig:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; choose from {sorted(CONFIGS)}")
+    return CONFIGS[name]()

@@ -1,0 +1,109 @@
+"""Engine frame-loop tests: modes, stats, pause, checkpoint roundtrip."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from spacetime_tpu.engine import Engine, save_png
+from spacetime_tpu.ops.raytrace import RenderParams
+from spacetime_tpu.utils.config import EngineConfig, SceneSpec, get_config
+
+
+def _tiny_config(**kw):
+    defaults = dict(
+        scene=SceneSpec(
+            bodies=(("disc", 50, (0.45, 0.45), (0.1, 0.0), (0.2, 0.2, 1.0)),),
+            capacity=256,
+        ),
+        render=RenderParams(pair_capacity=2048, num_rays=256),
+        width=48,
+        height=48,
+        history=32,
+    )
+    defaults.update(kw)
+    return EngineConfig(**defaults)
+
+
+def test_engine_runs_all_modes(tmp_path):
+    for mode in ("points", "retarded", "instant"):
+        eng = Engine(_tiny_config(render_mode=mode))
+        imgs = []
+        # retarded visibility needs history >= blob distance (~0.05 ls = 11
+        # ticks), so run enough frames to fill the light cone
+        eng.run(15, on_frame=lambda i, img: imgs.append(np.asarray(img)))
+        assert len(imgs) == 15
+        assert imgs[0].shape == (48, 48, 3)
+        assert np.isfinite(imgs[-1]).all()
+        # something rendered (not all background)
+        assert (imgs[-1].min(-1) < 0.9).any(), mode
+    save_png(str(tmp_path / "f.png"), imgs[-1])
+    assert (tmp_path / "f.png").stat().st_size > 0
+
+
+def test_engine_stats_window():
+    eng = Engine(_tiny_config(render_mode="points"))
+    summary = eng.run(5)
+    assert summary["fps_avg"] > 0
+    assert summary["frame_avg_ms"] > 0
+    assert "step_avg_ms" in summary and "render_avg_ms" in summary
+
+
+def test_engine_pause_freezes_physics():
+    eng = Engine(_tiny_config(render_mode="points"))
+    eng.run_frame(keys={"p": True})  # toggles pause before stepping
+    pos0 = np.asarray(eng.particles.pos)
+    eng.run_frame()
+    assert eng.paused
+    np.testing.assert_array_equal(pos0, np.asarray(eng.particles.pos))
+    eng.run_frame(keys={"p": True})  # unpause
+    eng.run_frame()
+    assert not np.array_equal(pos0, np.asarray(eng.particles.pos))
+
+
+def test_engine_camera_keys():
+    eng = Engine(_tiny_config(render_mode="points"))
+    x0 = float(eng.camera.pos[0])
+    eng.run_frame(keys={"right": True})
+    assert float(eng.camera.pos[0]) > x0
+    z0 = float(eng.camera.zoom)
+    eng.run_frame(keys={"z": True})
+    assert float(eng.camera.zoom) < z0
+
+
+def test_accelerated_camera_velocity_grows():
+    eng = Engine(_tiny_config(render_mode="points", cam_accel=(0.5, 0.0)))
+    eng.run(10)
+    v = np.asarray(eng.camera.vel)
+    assert v[0] > 0.0
+    assert np.linalg.norm(v) < 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    eng = Engine(_tiny_config(render_mode="points"))
+    eng.run(3)
+    path = str(tmp_path / "ckpt.npz")
+    eng.save_checkpoint(path)
+    pos_saved = np.asarray(eng.particles.pos)
+    t_saved, f_saved = eng.time, eng.frame
+
+    eng2 = Engine(_tiny_config(render_mode="points"))
+    eng2.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(eng2.particles.pos), pos_saved)
+    assert eng2.time == t_saved and eng2.frame == f_saved
+    # resumed engine steps identically to the original continuing
+    eng.run(2)
+    eng2.run(2)
+    np.testing.assert_allclose(
+        np.asarray(eng.particles.pos), np.asarray(eng2.particles.pos), rtol=1e-6
+    )
+
+
+def test_baseline_configs_constructible():
+    for name in ("single_blob", "two_body_collision", "flagship_1080p",
+                 "accelerated_camera", "conical_defect"):
+        cfg = get_config(name)
+        assert cfg.width > 0 and cfg.history > 0
+    with pytest.raises(KeyError):
+        get_config("nope")

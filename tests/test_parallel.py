@@ -1,0 +1,83 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetime_tpu import scene
+from spacetime_tpu.camera import Camera
+from spacetime_tpu.models.softbody import SoftbodyModel
+from spacetime_tpu.ops import raytrace
+from spacetime_tpu.ops import worldline as wl
+from spacetime_tpu.parallel import mesh as mesh_mod
+from spacetime_tpu.parallel import sharding
+
+
+def _setup(capacity=256, history=32):
+    sb = scene.SceneBuilder()
+    sb.add(scene.disc_softbody(3, 0, (0.45, 0.45), (0.1, 0.0)), base_color=(0, 0, 1))
+    particles, objects = sb.build(capacity=capacity)
+    model = SoftbodyModel(capacity=capacity)
+    buf = wl.create(history, capacity)
+    buf = wl.push_frame(buf, particles, 0.0)
+    params = raytrace.RenderParams(pair_capacity=1024, num_rays=128)
+    return particles, objects, model, buf, params
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    m = mesh_mod.make_mesh(4)
+    assert m.devices.shape == (4,)
+
+
+def test_sharded_step_matches_single_device():
+    particles, objects, model, buf, params = _setup()
+    single, _aux = model.step(particles)
+
+    m = mesh_mod.make_mesh(4)
+    p_sh, _ = sharding.shard_state(particles, buf, m)
+    step = sharding.make_sharded_step(model, m)
+    multi = step(p_sh)
+    np.testing.assert_allclose(
+        np.asarray(single.pos), np.asarray(multi.pos), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.neighbors), np.asarray(multi.neighbors)
+    )
+
+
+def test_sharded_frame_matches_single_device():
+    particles, objects, model, buf, params = _setup()
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.5)
+    w = h = 48
+
+    # single-device reference
+    p1, _ = model.step(particles)
+    b1 = wl.push_frame(buf, p1, 0.005)
+    img1 = raytrace.render_retarded(
+        b1, p1.object_index, objects, cam, w, h, params
+    )
+
+    m = mesh_mod.make_mesh(8)
+    p_sh, b_sh = sharding.shard_state(particles, buf, m)
+    frame = sharding.make_sharded_frame(model, objects, params, w, h, m)
+    p2, b2, img2 = frame(p_sh, b_sh, cam, jnp.float32(0.005))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1.pos), np.asarray(p2.pos), rtol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args).compile()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

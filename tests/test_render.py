@@ -1,0 +1,208 @@
+"""Renderer tests: point rasterizer, retarded-time physics (apparent-position
+lag, Doppler), and accelerated path vs brute-force oracle (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetime_tpu import scene
+from spacetime_tpu.camera import Camera
+from spacetime_tpu.ops import rasterize, raytrace
+from spacetime_tpu.ops import worldline as wl
+from spacetime_tpu.state import make_objects, pack_particles
+from spacetime_tpu.constants import MAX_OBJECTS
+
+H = 0.005
+
+SMALL = raytrace.RenderParams(
+    dt=H,
+    pair_capacity=4096,
+    bin_capacity=64,
+    num_rays=512,
+)
+
+
+def _drifting_blob_buffer(radius_px, offset, vel, n_ticks, capacity=256, extra=None):
+    """Synthesize a history of a rigidly drifting blob (no physics needed)."""
+    body = scene.disc_softbody(radius_px, 0, offset, vel)
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    if extra is not None:
+        sb.add(extra, base_color=(0.9, 0.2, 0.3))
+    particles, objects = sb.build(capacity=capacity)
+    buf = wl.create(n_ticks, particles.capacity)
+    p0 = particles.pos
+    for k in range(n_ticks):
+        t = k * H
+        shifted = dataclasses.replace(
+            particles, pos=p0 + particles.vel * t
+        )
+        buf = wl.push_frame(buf, shifted, time=t)
+    return buf, particles, objects
+
+
+def test_point_render_places_particles():
+    particles = pack_particles(
+        pos=np.array([[0.5, 0.5], [0.6, 0.5]], np.float32),
+        vel=np.zeros((2, 2), np.float32),
+        neighbors=np.full((2, 8), -1, np.int32),
+        object_index=np.array([0, 1], np.int32),
+        capacity=64,
+    )
+    objects = make_objects(MAX_OBJECTS, [{"base_color": (0, 0, 1)}, {"base_color": (1, 0, 0)}])
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.4)
+    img = np.asarray(rasterize.render_points(particles, objects, cam, 64, 64))
+    # particle 0 at camera center -> blue pixel near (32, 32)
+    cy, cx = 31, 31
+    patch = img[cy - 1 : cy + 3, cx - 1 : cx + 3]
+    assert (patch == [0, 0, 1]).all(axis=-1).any()
+    # particle 1 is 0.1 ls right = 16 px right of center
+    patch2 = img[cy - 1 : cy + 3, cx + 15 : cx + 19]
+    assert (patch2 == [1, 0, 0]).all(axis=-1).any()
+    # background white
+    assert (img[0, 0] == 1).all()
+
+
+def test_point_render_out_of_view_dropped():
+    particles = pack_particles(
+        pos=np.array([[99.0, 99.0]], np.float32),
+        vel=np.zeros((1, 2), np.float32),
+        neighbors=np.full((1, 8), -1, np.int32),
+        object_index=np.zeros(1, np.int32),
+        capacity=64,
+    )
+    objects = make_objects(MAX_OBJECTS)
+    img = np.asarray(
+        rasterize.render_points(particles, objects, Camera.create(), 32, 32)
+    )
+    assert (img == 1.0).all()
+
+
+def _centroid(img):
+    """Centroid of non-background pixels (use x-ray renders only: opaque-mode
+    shadows would pollute this)."""
+    mask = img.min(-1) < 0.9
+    ys, xs = np.nonzero(mask)
+    assert len(xs) > 0, "no colored pixels"
+    return xs.mean(), ys.mean()
+
+
+def test_retarded_position_lags_motion():
+    """A blob drifting +y seen from a distant camera appears at its RETARDED
+    position: displaced by ~ -v * distance along its motion."""
+    # blob at x=0.3 right of camera, moving +y at 0.5c
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.3, -0.25 * 0.5 * 0.3), vel=(0.0, 0.5), n_ticks=128
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.8)
+    # x-ray mode: no occlusion shadow to pollute the centroid measurement
+    img_ret = np.asarray(
+        raytrace.render_retarded_brute(
+            buf, particles.object_index, objects, cam, 96, 96,
+            dataclasses.replace(SMALL, opaque=False),
+        )
+    )
+    # non-retarded comparison: same scene, occupancy at t_now everywhere ->
+    # approximate by a camera extremely close... instead compare against the
+    # analytically expected apparent displacement.
+    # true y at t_now=0.635*... : y_true(t_now) vs apparent y(t_now - r).
+    t_now = (128 - 1) * H
+    blob_x = 0.3 + 4 * scene.constants.IMMEDIATE_NEIGHBOR_DIST  # center offset
+    # solve r = |p - cam| with p = (blob_x, y0 + v (t_now - r)) iteratively
+    y0 = -0.25 * 0.5 * 0.3 + 4 * scene.constants.IMMEDIATE_NEIGHBOR_DIST
+    r = blob_x
+    for _ in range(20):
+        y_app = y0 + 0.5 * (t_now - r)
+        r = np.hypot(blob_x, y_app)
+    cx, cy = _centroid(img_ret)
+    # pixel -> world
+    scale = 0.8 / 96
+    wx = (cx - 47.5) * scale
+    wy = (cy - 47.5) * scale
+    np.testing.assert_allclose(wx, blob_x, atol=0.02)
+    np.testing.assert_allclose(wy, y_app, atol=0.02)
+    # and it must NOT be at the instantaneous position
+    y_true = y0 + 0.5 * t_now
+    assert abs(wy - y_true) > 0.05
+
+
+def test_doppler_blueshift_on_approach():
+    """Blob approaching the camera head-on renders blue-shifted & brighter;
+    receding renders red-shifted & dimmer (green base color shifts)."""
+    for vel, expect in ((-0.5, "blue"), (0.5, "red")):
+        buf, particles, objects = _drifting_blob_buffer(
+            3, offset=(0.4, 0.0), vel=(vel, 0.0), n_ticks=96
+        )
+        cam = Camera.create(pos=(0.0, 0.0), zoom=1.0)
+        img = np.asarray(
+            raytrace.render_retarded_brute(
+                buf, particles.object_index, objects, cam, 64, 64,
+                dataclasses.replace(SMALL, opaque=False),
+            )
+        )
+        mask = img.min(-1) < 0.9
+        assert mask.any()
+        mean_rgb = img[mask].mean(0)
+        if expect == "blue":
+            assert mean_rgb[2] > mean_rgb[0]
+        else:
+            assert mean_rgb[0] >= mean_rgb[2] * 0.999 and mean_rgb[2] < 0.3
+
+
+def test_fast_matches_oracle_xray():
+    params = dataclasses.replace(SMALL, opaque=False)
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.15, 0.05), vel=(0.2, -0.1), n_ticks=64,
+        extra=scene.disc_softbody(3, 1, (-0.1, -0.15), (0.1, 0.25)),
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    a = np.asarray(
+        raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 72, 72, params)
+    )
+    b, diag = raytrace.render_retarded_with_diag(
+        buf, particles.object_index, objects, cam, 72, 72, params
+    )
+    b = np.asarray(b)
+    assert int(diag.pairs_dropped) == 0
+    assert int(diag.bin_dropped) == 0
+    mismatch = np.mean(np.any(np.abs(a - b) > 1e-3, axis=-1))
+    assert mismatch < 0.01, f"{mismatch:.3%} pixels differ"
+
+
+def test_fast_matches_oracle_opaque():
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.15, 0.05), vel=(0.2, -0.1), n_ticks=64,
+        extra=scene.disc_softbody(3, 1, (-0.1, -0.15), (0.1, 0.25)),
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    a = np.asarray(
+        raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 72, 72, SMALL)
+    )
+    b = np.asarray(
+        raytrace.render_retarded(buf, particles.object_index, objects, cam, 72, 72, SMALL)
+    )
+    # retina quantization affects shadow edges only -> small mismatch budget
+    mismatch = np.mean(np.any(np.abs(a - b) > 1e-3, axis=-1))
+    assert mismatch < 0.03, f"{mismatch:.3%} pixels differ"
+
+
+def test_occlusion_shadow_behind_blob():
+    """In opaque mode the region behind a blob (as seen from the camera) is
+    darkened; in x-ray mode it is background white."""
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.2, -0.014), vel=(0.0, 0.0), n_ticks=48
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=1.0)
+    img_op = np.asarray(
+        raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 64, 64, SMALL)
+    )
+    params_x = dataclasses.replace(SMALL, opaque=False)
+    img_x = np.asarray(
+        raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 64, 64, params_x)
+    )
+    # point far behind the blob along +x: pixel at world (0.45, 0) = px (~76, 32) out of range;
+    # use world (0.4, 0) -> px x = 31.5 + 0.4/1.0*64 = 57
+    assert img_op[31, 57].max() < 0.95  # shadowed
+    assert (img_x[31, 57] == 1.0).all()  # x-ray: background
