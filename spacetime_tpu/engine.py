@@ -206,6 +206,16 @@ class Engine:
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, cfg.width, cfg.height, params,
             )
+        if mode == "conical":
+            from .ops import curved
+
+            if cfg.defect is None:
+                raise ValueError("render_mode='conical' requires config.defect")
+            defect = curved.ConicalDefect.create(*cfg.defect)
+            return curved.render_retarded_conical(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, defect, cfg.width, cfg.height, cfg.render,
+            )
         raise ValueError(f"unknown render mode {mode!r}")
 
     def run_frame(self, keys: Optional[Dict] = None) -> jax.Array:

@@ -37,8 +37,10 @@ class EngineConfig:
     cam_vel: Tuple[float, float] = (0.0, 0.0)
     cam_accel: Tuple[float, float] = (0.0, 0.0)  # Rindler-style proper accel (config 4)
     max_fps: float = 72.0  # frame pacing target (reference: debugui.rs:21)
-    render_mode: str = "retarded"  # retarded | points | instant
+    render_mode: str = "retarded"  # retarded | points | instant | conical
     steps_per_frame: int = 1
+    # conical-defect mass for curved-spacetime mode: ((cx, cy), deficit_rad)
+    defect: Optional[Tuple[Tuple[float, float], float]] = None
 
 
 def _blob(count, offset, vel, rgb):
@@ -130,7 +132,8 @@ def config_conical_defect() -> EngineConfig:
         width=512,
         height=512,
         history=512,
-        render_mode="retarded",
+        render_mode="conical",
+        defect=((0.5, 0.5), 1.2),
     )
 
 
