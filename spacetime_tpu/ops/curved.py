@@ -40,10 +40,12 @@ import jax.numpy as jnp
 from ..camera import Camera, pixel_centers
 from ..state import Objects
 from .raytrace import (
+    PairTables,
     RenderParams,
     _BIG,
-    _compose,
-    _occupancy_at_event,
+    _compose_block,
+    _occupancy_block,
+    _pad_pixels,
     _segment_data,
     shade_hit,
 )
@@ -167,43 +169,35 @@ def render_retarded_conical(
     starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
     counts = jnp.zeros((n_keys + 1,), jnp.int32).at[key].add(1)
 
-    # --- per-pixel occupancy, both routes ---
-    p = pixel_centers(width, height, cam).reshape(-1, 2)
-    lp1, lp2, _v2 = geodesic_lengths(p, cam.pos, defect)  # (P,)
-    keys_p = grid_ops.hash_cell(grid_ops.cell_of(p, lam), n_keys - 1)
+    # --- per-pixel occupancy, both routes, chunked pixel blocks ---
+    tables = PairTables(
+        starts=starts, counts=counts, sval=sval, pair_valid=pair_valid,
+        pax=pqa[:, 0], pay=pqa[:, 1], pbx=pqb[:, 0], pby=pqb[:, 1],
+        pta=pta, pvx=pvel[:, 0], pvy=pvel[:, 1], pobj=pobj,
+    )
+    pxs, pys, n_px = _pad_pixels(width, height, cam, params.pixel_block)
     cap = params.bin_capacity
-    s = starts[keys_p]
-    c = jnp.minimum(counts[keys_p], cap)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    ok_p = j[None, :] < c[:, None]
-    pid_p = sval[jnp.clip(s[:, None] + j[None, :], 0, n_entries - 1)]
-    ok_p = ok_p & pair_valid[pid_p]
+    xray = dataclasses.replace(params, opaque=False)
 
-    def route_hit(l_route):
-        t_e = t_now - l_route
-        inside, dist2 = _occupancy_at_event(
-            p[:, None, :], t_e[:, None], pqa[pid_p], pqb[pid_p], pta[pid_p], dt, rho
+    def block_fn(args):
+        px, py = args
+        p2 = jnp.stack([px, py], axis=-1)
+        lp1, lp2, _v2 = geodesic_lengths(p2, cam.pos, defect)
+        occ1, bid1 = _occupancy_block(
+            px, py, t_now - lp1, tables, lam, n_keys, cap, dt, rho
         )
-        inside = inside & ok_p
-        dist2 = jnp.where(inside, dist2, _BIG)
-        best = jnp.argmin(dist2, axis=1)
-        occ = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
-        bid = jnp.take_along_axis(pid_p, best[:, None], axis=1)[:, 0]
-        return occ, bid
+        occ2, bid2 = _occupancy_block(
+            px, py, t_now - lp2, tables, lam, n_keys, cap, dt, rho
+        )
+        # shorter route wins where both hit (younger, brighter image)
+        use1 = occ1 | ~occ2
+        occupied = occ1 | occ2
+        best_pid = jnp.where(use1, bid1, bid2)
+        r_eff = jnp.where(use1, lp1, lp2)
+        return _compose_block(
+            px, py, r_eff, occupied, best_pid, jnp.full_like(r_eff, _BIG),
+            tables, objects, cam, xray,
+        )
 
-    occ1, bid1 = route_hit(lp1)
-    occ2, bid2 = route_hit(lp2)
-    # shorter route wins where both hit (it arrives later in emission time,
-    # i.e. it is the "younger" image, and would also be the brighter one)
-    use1 = occ1 | ~occ2
-    occupied = occ1 | occ2
-    best_pid = jnp.where(use1, bid1, bid2)
-    r_eff = jnp.where(use1, lp1, lp2)
-
-    img = _compose(
-        p, r_eff, occupied, pvel[best_pid], pobj[best_pid],
-        jnp.full_like(r_eff, _BIG),  # no occlusion retina in curved mode
-        objects, cam,
-        dataclasses.replace(params, opaque=False),
-    ).reshape(height, width, 3)
-    return img
+    colors = jax.lax.map(block_fn, (pxs, pys))
+    return colors.reshape(-1, 3)[:n_px].reshape(height, width, 3)

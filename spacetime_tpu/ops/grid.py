@@ -50,6 +50,16 @@ class CollisionGrid:
         return self.starts.shape[0] - 1
 
 
+def hash_cell_xy(cx: jax.Array, cy: jax.Array, table_mask: int) -> jax.Array:
+    """Scalar-component cell hash (avoids materializing (..., 2) arrays,
+    whose 2-wide trailing dim pads to 128 lanes on TPU)."""
+    x = cx.astype(jnp.uint32)
+    y = cy.astype(jnp.uint32)
+    h = x * jnp.uint32(0x9E3779B1) ^ (y * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> jnp.uint32(15))
+    return (h & jnp.uint32(table_mask)).astype(jnp.int32)
+
+
 def hash_cell(cell: jax.Array, table_mask: int) -> jax.Array:
     """Hash integer cell coords (..., 2) to a table key.
 
@@ -58,11 +68,7 @@ def hash_cell(cell: jax.Array, table_mask: int) -> jax.Array:
     negative coordinates onto positive ones — with a standard two-prime
     xor mix that treats signed coordinates distinctly.
     """
-    x = cell[..., 0].astype(jnp.uint32)
-    y = cell[..., 1].astype(jnp.uint32)
-    h = x * jnp.uint32(0x9E3779B1) ^ (y * jnp.uint32(0x85EBCA77))
-    h = h ^ (h >> jnp.uint32(15))
-    return (h & jnp.uint32(table_mask)).astype(jnp.int32)
+    return hash_cell_xy(cell[..., 0], cell[..., 1], table_mask)
 
 
 def cell_of(pos: jax.Array, grid_resolution: float) -> jax.Array:

@@ -81,6 +81,7 @@ class RenderParams:
     table_factor: int = 4  # hash table size = table_factor * pair_capacity
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     ray_chunk: int = 2048  # pairs per scan chunk in the retina march
+    pixel_block: int = 131072  # pixels per lax.map block (bounds HBM working set)
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
     doppler: bool = True
@@ -198,6 +199,101 @@ def _occupancy_at_event(p, t_e, qa, qb, ta, dt, rho):
     dvec = p - q
     dist2 = jnp.sum(dvec * dvec, axis=-1)
     return in_time & (dist2 <= rho * rho), dist2
+
+
+class PairTables(NamedTuple):
+    """Scalar-component pair data + hash table, shared by pixel passes.
+
+    Components are separate (P,) arrays rather than (P, 2) vectors: on TPU a
+    trailing dim of 2 pads to 128 lanes, so gathered (pixels, cap, 2) arrays
+    would inflate 64x in HBM (the bug class that OOM'd the first 1080p run).
+    """
+
+    starts: jax.Array
+    counts: jax.Array
+    sval: jax.Array
+    pair_valid: jax.Array
+    pax: jax.Array
+    pay: jax.Array
+    pbx: jax.Array
+    pby: jax.Array
+    pta: jax.Array
+    pvx: jax.Array
+    pvy: jax.Array
+    pobj: jax.Array
+
+
+def _occupancy_block(px, py, t_e, tables: PairTables, lam, n_keys, cap, dt, rho):
+    """Retarded occupancy for one block of pixels (scalar coords).
+    Returns (occupied (B,), best_pid (B,))."""
+    from . import grid as grid_ops
+
+    cellx = jnp.floor(px / lam).astype(jnp.int32)
+    celly = jnp.floor(py / lam).astype(jnp.int32)
+    key = grid_ops.hash_cell_xy(cellx, celly, n_keys - 1)
+    s = tables.starts[key]
+    c = jnp.minimum(tables.counts[key], cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.clip(s[:, None] + j[None, :], 0, tables.sval.shape[0] - 1)
+    pid = tables.sval[slot]  # (B, cap)
+    ok = (j[None, :] < c[:, None]) & tables.pair_valid[pid]
+    ax, ay = tables.pax[pid], tables.pay[pid]
+    bx, by = tables.pbx[pid], tables.pby[pid]
+    ta_ = tables.pta[pid]
+    tau = (t_e[:, None] - ta_) / dt
+    in_time = (tau >= -0.001) & (tau <= 1.001)
+    tau_c = jnp.clip(tau, 0.0, 1.0)
+    qx = ax + tau_c * (bx - ax)
+    qy = ay + tau_c * (by - ay)
+    dx = px[:, None] - qx
+    dy = py[:, None] - qy
+    dist2 = dx * dx + dy * dy
+    inside = in_time & (dist2 <= rho * rho) & ok
+    dist2 = jnp.where(inside, dist2, _BIG)
+    best = jnp.argmin(dist2, axis=1)
+    occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
+    best_pid = jnp.take_along_axis(pid, best[:, None], axis=1)[:, 0]
+    return occupied, best_pid
+
+
+def _compose_block(
+    px, py, r, occupied, best_pid, s_first_px, tables: PairTables, objects, cam,
+    params: RenderParams,
+):
+    """Shading/composition for one pixel block; returns (B, 3)."""
+    base = objects.base_color[tables.pobj[best_pid]]
+    vel_e = jnp.stack([tables.pvx[best_pid], tables.pvy[best_pid]], axis=-1)
+    inv_r = 1.0 / jnp.maximum(r, 1e-12)
+    n_hat = jnp.stack(
+        [(cam.pos[0] - px) * inv_r, (cam.pos[1] - py) * inv_r], axis=-1
+    )
+    shaded = shade_hit(base, vel_e, n_hat, cam.vel, params)
+    bg = jnp.ones_like(shaded)
+    if params.opaque and params.retarded:
+        blocked = s_first_px < (r - 2.0 * params.rho)
+        return jnp.where(
+            occupied[:, None],
+            jnp.where(blocked[:, None], shaded * params.absorbed_dim, shaded),
+            jnp.where(blocked[:, None], bg * params.shadow, bg),
+        )
+    return jnp.where(occupied[:, None], shaded, bg)
+
+
+def _pad_pixels(width, height, cam, block):
+    """Flattened, padded scalar pixel coords + block count."""
+    pc = pixel_centers(width, height, cam)
+    px = pc[..., 0].reshape(-1)
+    py = pc[..., 1].reshape(-1)
+    n_px = px.shape[0]
+    n_blocks = -(-n_px // block)
+    pad = n_blocks * block - n_px
+    px = jnp.pad(px, (0, pad), constant_values=1.0e9)
+    py = jnp.pad(py, (0, pad), constant_values=1.0e9)
+    return (
+        px.reshape(n_blocks, block),
+        py.reshape(n_blocks, block),
+        n_px,
+    )
 
 
 def _compose(p, r, occupied, vel_e, obj_e, s_first_px, objects, cam, params):
@@ -394,38 +490,36 @@ def _render_retarded_impl(
     else:
         s_first = jnp.full((n_rays,), _BIG)
 
-    # --- 5. per-pixel retarded occupancy (one hash-cell gather) ---
-    p = pixel_centers(width, height, cam).reshape(-1, 2)
-    rel = p - cam.pos
-    r = jnp.linalg.norm(rel, axis=-1)
-    phi_p = jnp.arctan2(rel[:, 1], rel[:, 0])
-    t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
-    keys_p = grid_ops.hash_cell(grid_ops.cell_of(p, lam), n_keys - 1)  # (P,)
+    # --- 5. per-pixel retarded occupancy + shading, chunked pixel blocks ---
+    tables = PairTables(
+        starts=starts, counts=counts, sval=sval, pair_valid=pair_valid,
+        pax=pqa[:, 0], pay=pqa[:, 1], pbx=pqb[:, 0], pby=pqb[:, 1],
+        pta=pta, pvx=pvel[:, 0], pvy=pvel[:, 1], pobj=pobj,
+    )
+    pxs, pys, n_px = _pad_pixels(width, height, cam, params.pixel_block)
     cap = params.bin_capacity
-    s = starts[keys_p]
-    c = jnp.minimum(counts[keys_p], cap)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    ok_p = j[None, :] < c[:, None]
-    pid_p = sval[jnp.clip(s[:, None] + j[None, :], 0, n_entries - 1)]  # (P, cap)
-    ok_p = ok_p & pair_valid[pid_p]
-    inside, dist2 = _occupancy_at_event(
-        p[:, None, :], t_e[:, None], pqa[pid_p], pqb[pid_p], pta[pid_p], dt, rho
-    )
-    inside = inside & ok_p
-    dist2 = jnp.where(inside, dist2, _BIG)
-    best = jnp.argmin(dist2, axis=1)
-    occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
-    best_pid = jnp.take_along_axis(pid_p, best[:, None], axis=1)[:, 0]
 
-    ray_of_pix = jnp.clip(
-        jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32), 0, n_rays - 1
-    )
-    s_first_px = s_first[ray_of_pix]
+    def block_fn(args):
+        px, py = args
+        relx = px - cam.pos[0]
+        rely = py - cam.pos[1]
+        r = jnp.sqrt(relx * relx + rely * rely)
+        t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
+        occupied, best_pid = _occupancy_block(
+            px, py, t_e, tables, lam, n_keys, cap, dt, rho
+        )
+        phi_p = jnp.arctan2(rely, relx)
+        ray_of_pix = jnp.clip(
+            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+            0, n_rays - 1,
+        )
+        return _compose_block(
+            px, py, r, occupied, best_pid, s_first[ray_of_pix], tables,
+            objects, cam, params,
+        )
 
-    img = _compose(
-        p, r, occupied, pvel[best_pid], pobj[best_pid], s_first_px, objects, cam,
-        params,
-    ).reshape(height, width, 3)
+    colors = jax.lax.map(block_fn, (pxs, pys))
+    img = colors.reshape(-1, 3)[:n_px].reshape(height, width, 3)
     diag = RenderDiag(
         pairs_used=jnp.minimum(n_pairs, pcap),
         pairs_dropped=jnp.maximum(n_pairs - pcap, 0),
