@@ -53,7 +53,8 @@ def build():
         particles, _aux = model.step(particles)
         buf = wl.push_frame(buf, particles, t)
         img = raytrace.render_retarded(
-            buf, particles.object_index, objects, cam, width, height, params
+            buf, particles.object_index, objects, cam, width, height, params,
+            planar=True,
         )
         return particles, buf, img
 

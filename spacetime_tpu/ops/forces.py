@@ -18,8 +18,9 @@ implements the stated intent ("no colliding with your neighbors!") by
 comparing global particle indices.  Self-exclusion follows the reference's
 position-equality semantics via the dist > 0 test (softbodyrk4.glsl:99).
 
-Everything here is pure function of (positions, static candidate set), fully
-regular, so XLA fuses it into a handful of gather+VPU ops.
+Layout: all gathered intermediates are scalar component planes ((N, C), not
+(N, C, 2)) — TPU pads 2-wide trailing dims to 128 lanes, which would inflate
+the candidate gathers 64x in HBM (see ops/worldline.py layout note).
 """
 
 from __future__ import annotations
@@ -40,14 +41,15 @@ def spring_forces(
 ) -> jax.Array:
     """Hooke spring force sum over bond slots (softbodyrk4.glsl:119-140)."""
     n = pos.shape[0]
+    px, py = pos[:, 0], pos[:, 1]
     valid = neighbors >= 0
-    nbr_pos = pos[jnp.clip(neighbors, 0, n - 1)]  # (N, 8, 2)
-    d = pos[:, None, :] - nbr_pos
-    dist = jnp.linalg.norm(d, axis=-1)  # (N, 8)
+    nbr = jnp.clip(neighbors, 0, n - 1)
+    dx = px[:, None] - px[nbr]  # (N, 8)
+    dy = py[:, None] - py[nbr]
+    dist = jnp.sqrt(dx * dx + dy * dy)
     inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
-    mag = -k * (dist - rest_lengths[None, :]) * inv
-    f = mag[..., None] * d
-    return jnp.sum(jnp.where(valid[..., None], f, 0.0), axis=1)
+    mag = jnp.where(valid, -k * (dist - rest_lengths[None, :]) * inv, 0.0)
+    return jnp.stack([jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)], axis=-1)
 
 
 def collision_forces(
@@ -61,14 +63,19 @@ def collision_forces(
     """Constant-magnitude repulsion from grid candidates
     (softbodyrk4.glsl:90-114)."""
     n = pos.shape[0]
-    cand_pos = pos[cand_idx]  # (N, C, 2)
-    d = pos[:, None, :] - cand_pos
-    dist = jnp.linalg.norm(d, axis=-1)  # (N, C)
+    px, py = pos[:, 0], pos[:, 1]
+    dx = px[:, None] - px[cand_idx]  # (N, C)
+    dy = py[:, None] - py[cand_idx]
+    dist = jnp.sqrt(dx * dx + dy * dy)
     is_self = cand_idx == jnp.arange(n, dtype=cand_idx.dtype)[:, None]
-    is_bond = jnp.any(cand_idx[:, :, None] == neighbors[:, None, :], axis=-1)
+    # unrolled over the 8 bond slots: keeps every intermediate at (N, C)
+    # instead of materializing a lane-padded (N, C, 8) comparison tensor
+    is_bond = jnp.zeros_like(cand_valid)
+    for s in range(neighbors.shape[1]):
+        is_bond = is_bond | (cand_idx == neighbors[:, s][:, None])
     hit = cand_valid & ~is_self & ~is_bond & (dist < collision_distance) & (dist > 0)
-    f = (repulsion / jnp.maximum(dist, _EPS))[..., None] * d
-    return jnp.sum(jnp.where(hit[..., None], f, 0.0), axis=1)
+    mag = jnp.where(hit, repulsion / jnp.maximum(dist, _EPS), 0.0)
+    return jnp.stack([jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)], axis=-1)
 
 
 def total_forces(

@@ -46,6 +46,13 @@ Acceleration structure (TPU-native: no BVH, no dynamic stacks):
 Total work is O(T*N mask + pairs log pairs + rays*pairs + pixels*capacity) —
 independent of history length per pixel.
 
+Layout rule (hard-won): every hot-path array is a SCALAR COMPONENT plane —
+no broadcasted (..., 2) vectors, no (..., 3) rgb tensors.  TPU tiles the two
+minor dims as (8, 128); a 2- or 3-wide trailing dim pads to 128 lanes (64x /
+42x HBM inflation; the first 1080p run OOM'd on exactly this).  Public image
+output is (H, W, 3) by default; `planar=True` returns (3, H, W) and avoids
+materializing the padded interleaved form on device.
+
 Shading: special-relativistic Doppler (source motion composed with observer
 motion) with an approximate spectral shift of the RGB channels, plus
 headlight beaming ``D**3`` (bolometric intensity boost), per BASELINE
@@ -61,8 +68,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import relativity
 from ..camera import Camera, pixel_centers
+from ..constants import C2
 from ..state import Objects
 from .worldline import WorldlineBuffer
 
@@ -105,109 +112,149 @@ class RenderDiag(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# Shading
+# Scalar-component shading
 # ---------------------------------------------------------------------------
+
+
+def _gamma_xy(vx, vy):
+    return 1.0 / jnp.sqrt(jnp.maximum(1.0 - (vx * vx + vy * vy) / C2, 1e-12))
+
+
+def doppler_factor_xy(vx, vy, nx, ny):
+    """Observed/emitted frequency for a source at velocity (vx, vy), photon
+    propagation direction (nx, ny) (unit, source -> observer), static
+    observer (relativity.doppler_factor, componentized)."""
+    g = _gamma_xy(vx, vy)
+    return 1.0 / (g * (1.0 - (vx * nx + vy * ny) / C2))
+
+
+def camera_doppler_factor_xy(cvx, cvy, nx, ny):
+    """Moving-observer factor (relativity.camera_doppler_factor)."""
+    g = _gamma_xy(cvx, cvy)
+    return g * (1.0 - (cvx * nx + cvy * ny) / C2)
+
+
+def _hat(x):
+    """Linear hat weight max(0, 1 - |x|) for the spectral-shift resample."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def shade_channels(cr, cg, cb, d, params: RenderParams):
+    """Doppler-shift + beam three scalar channel arrays.
+
+    Spectral model: (r, g, b) are three frequency bands (increasing); a
+    Doppler factor D translates energy across them by log2(D) channels with
+    linear interpolation; light shifted outside the triplet dims to black.
+    out_i = sum_j hat(i - t - j) * c_j  with t = clip(log2 D).
+    """
+    if params.doppler:
+        t = jnp.clip(
+            jnp.log2(jnp.maximum(d, 1e-6)) * params.doppler_strength, -2.5, 2.5
+        )
+        out = []
+        for i in range(3):
+            src = i - t
+            out.append(_hat(src - 0) * cr + _hat(src - 1) * cg + _hat(src - 2) * cb)
+        sr, sg, sb = out
+    else:
+        sr, sg, sb = cr, cg, cb
+    if params.beaming:
+        boost = d * d * d
+        sr, sg, sb = sr * boost, sg * boost, sb * boost
+    amb = params.ambient
+    mix = lambda s, c: amb * c + (1.0 - amb) * jnp.clip(s, 0.0, 1.0)
+    return mix(sr, cr), mix(sg, cg), mix(sb, cb)
 
 
 def doppler_shift_rgb(rgb, d_factor, strength=1.0):
-    """Approximate spectral shift: treat (r, g, b) as three frequency bands
-    (increasing) and translate energy across them by log2(D) channels;
-    radiation shifted outside the visible triplet dims to black."""
-    t = jnp.clip(jnp.log2(d_factor) * strength, -2.5, 2.5)[..., None]  # (..., 1)
-    out_idx = jnp.arange(3, dtype=jnp.float32)
-    src = out_idx - t  # (..., 3) fractional source channel
-    lo = jnp.floor(src)
-    frac = src - lo
-    lo_i = lo.astype(jnp.int32)
-
-    def sample(i):
-        in_range = (i >= 0) & (i <= 2)
-        v = jnp.take_along_axis(
-            jnp.broadcast_to(rgb, src.shape), jnp.clip(i, 0, 2), axis=-1
-        )
-        return jnp.where(in_range, v, 0.0)
-
-    return sample(lo_i) * (1.0 - frac) + sample(lo_i + 1) * frac
+    """Vector-form spectral shift (used by tests/small paths)."""
+    params = RenderParams(doppler=True, beaming=False, ambient=0.0,
+                          doppler_strength=strength)
+    r, g, b = shade_channels(
+        rgb[..., 0], rgb[..., 1], rgb[..., 2], d_factor, params
+    )
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def shade_hit(base_color, vel_event, n_hat, cam_vel, params: RenderParams):
-    """Color of matter seen at a retarded event.
-
-    `n_hat` (..., 2) is the photon propagation direction (event -> camera).
-    Total Doppler = source factor x moving-observer factor; a camera
-    co-moving with the source sees no shift (factors cancel exactly).
-    """
-    rgb = base_color
+    """Vector-form shading (oracle / tests).  `n_hat` (..., 2) is the photon
+    propagation direction (event -> camera); total Doppler = source factor x
+    moving-observer factor (a co-moving camera sees no shift)."""
+    d = jnp.ones(base_color.shape[:-1], base_color.dtype)
     if params.doppler or params.beaming:
-        d = relativity.doppler_factor(vel_event, n_hat)
-        d = d * relativity.camera_doppler_factor(
-            jnp.broadcast_to(cam_vel, n_hat.shape), n_hat
+        d = doppler_factor_xy(
+            vel_event[..., 0], vel_event[..., 1], n_hat[..., 0], n_hat[..., 1]
+        ) * camera_doppler_factor_xy(
+            cam_vel[..., 0], cam_vel[..., 1], n_hat[..., 0], n_hat[..., 1]
         )
-        if params.doppler:
-            rgb = doppler_shift_rgb(rgb, d, params.doppler_strength)
-        if params.beaming:
-            rgb = rgb * (d[..., None] ** 3)
-    rgb = jnp.clip(rgb, 0.0, 1.0)
-    return params.ambient * base_color + (1.0 - params.ambient) * rgb
+    r, g, b = shade_channels(
+        base_color[..., 0], base_color[..., 1], base_color[..., 2], d, params
+    )
+    return jnp.stack([r, g, b], axis=-1)
 
 
 # ---------------------------------------------------------------------------
-# Segment math (shared by oracle and accelerated path)
+# Scalar-component segment math (shared by oracle and accelerated path)
 # ---------------------------------------------------------------------------
 
 
 def _segment_data(buf: WorldlineBuffer, dt: float):
-    """Per-(slot, particle) segment endpoints in time order.
+    """Per-(slot, particle) segment endpoint components in time order.
 
     Segment owned by slot k runs from (pos[k], times[k]) to
     (pos[(k+1) % T], times[k] + dt); valid iff the next slot holds the
     consecutive tick (ring wraparound and ramp-up slots fail this)."""
     t_cap = buf.capacity
     nxt = (jnp.arange(t_cap) + 1) % t_cap
-    qa, qb = buf.pos, buf.pos[nxt]  # (T, N, 2)
     ta = buf.times
     valid = jnp.isfinite(ta) & (jnp.abs(buf.times[nxt] - ta - dt) < 0.5 * dt)
-    return qa, qb, ta, valid
+    return (
+        buf.pos_x, buf.pos_y,
+        buf.pos_x[nxt], buf.pos_y[nxt],
+        ta, valid,
+    )
 
 
-def _ray_segment_hit(cam_pos, d_hat, qa, qb, ta, t_now, dt, rho):
-    """Ray from cam_pos along d_hat on the past light cone of (cam_pos,
-    t_now) vs one swept capsule.  Event times [ta, ta+dt] map to arclength
-    s = t_now - t in [s_hi - dt, s_hi], s_hi = t_now - ta.  Both ray point
-    and particle position are affine in the segment fraction tau, so the
-    squared distance |A - tau B|^2 minimizes in closed form.
-    Returns (hit, s_hit, tau)."""
+def _ray_hit_xy(cx, cy, dhx, dhy, ax, ay, bx, by, ta, t_now, dt, rho):
+    """Ray (origin camera, direction (dhx, dhy)) on the past light cone of
+    (cam, t_now) vs one swept capsule, all scalar components.  Event times
+    [ta, ta+dt] map to arclength s = t_now - t in [s_hi - dt, s_hi]; both ray
+    point and particle position are affine in the segment fraction tau, so
+    |A - tau B|^2 minimizes in closed form.  Returns (hit, s_hit)."""
     s_hi = t_now - ta
-    a = cam_pos + s_hi[..., None] * d_hat - qa
-    b = dt * d_hat + (qb - qa)
-    bb = jnp.sum(b * b, axis=-1)
-    tau = jnp.clip(jnp.sum(a * b, axis=-1) / jnp.maximum(bb, 1e-20), 0.0, 1.0)
-    dvec = a - tau[..., None] * b
-    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    a_x = cx + s_hi * dhx - ax
+    a_y = cy + s_hi * dhy - ay
+    b_x = dt * dhx + (bx - ax)
+    b_y = dt * dhy + (by - ay)
+    bb = b_x * b_x + b_y * b_y
+    tau = jnp.clip((a_x * b_x + a_y * b_y) / jnp.maximum(bb, 1e-20), 0.0, 1.0)
+    d_x = a_x - tau * b_x
+    d_y = a_y - tau * b_y
+    dist2 = d_x * d_x + d_y * d_y
     s_hit = s_hi - tau * dt
     hit = (dist2 <= rho * rho) & (s_hit > 0.0)
-    return hit, s_hit, tau
+    return hit, s_hit
 
 
-def _occupancy_at_event(p, t_e, qa, qb, ta, dt, rho):
-    """Is map point p inside this segment's capsule at event time t_e?
+def _occupancy_xy(px, py, t_e, ax, ay, bx, by, ta, dt, rho):
+    """Is map point (px, py) inside this segment's capsule at event time t_e?
     Returns (inside, dist2)."""
     tau = (t_e - ta) / dt
     in_time = (tau >= -0.001) & (tau <= 1.001)
     tau_c = jnp.clip(tau, 0.0, 1.0)
-    q = qa + tau_c[..., None] * (qb - qa)
-    dvec = p - q
-    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    d_x = px - (ax + tau_c * (bx - ax))
+    d_y = py - (ay + tau_c * (by - ay))
+    dist2 = d_x * d_x + d_y * d_y
     return in_time & (dist2 <= rho * rho), dist2
 
 
-class PairTables(NamedTuple):
-    """Scalar-component pair data + hash table, shared by pixel passes.
+# ---------------------------------------------------------------------------
+# Shared pixel-pass machinery
+# ---------------------------------------------------------------------------
 
-    Components are separate (P,) arrays rather than (P, 2) vectors: on TPU a
-    trailing dim of 2 pads to 128 lanes, so gathered (pixels, cap, 2) arrays
-    would inflate 64x in HBM (the bug class that OOM'd the first 1080p run).
-    """
+
+class PairTables(NamedTuple):
+    """Scalar-component pair data + spatial hash table."""
 
     starts: jax.Array
     counts: jax.Array
@@ -221,6 +268,90 @@ class PairTables(NamedTuple):
     pvx: jax.Array
     pvy: jax.Array
     pobj: jax.Array
+
+
+def _compact(mask_flat: jax.Array, capacity: int):
+    """Indices of True entries, padded with -1 to `capacity` (stream
+    compaction via cumsum + scatter — the TPU version of an append buffer)."""
+    write_pos = jnp.cumsum(mask_flat) - 1
+    out = jnp.full((capacity,), -1, jnp.int32)
+    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    out = out.at[jnp.where(mask_flat, write_pos, capacity)].set(src, mode="drop")
+    count = jnp.sum(mask_flat.astype(jnp.int32))
+    return out, count
+
+
+def _build_pair_tables(buf, obj_index, cand, params: RenderParams):
+    """Compact the (T, N) candidate mask and build the spatial hash."""
+    from . import grid as grid_ops
+
+    rho, lam = params.rho, params.cell_size
+    t_cap, n = cand.shape
+    pcap = params.pair_capacity
+    n_keys = params.table_factor * pcap
+
+    pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
+    pair_valid = pair_sid >= 0
+    sid = jnp.maximum(pair_sid, 0)
+    slot, pidx = sid // n, sid % n
+    far = 2.0e9
+    nxt_slot = (slot + 1) % t_cap
+    pax = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid], far)
+    pay = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid], far)
+    sid_next = nxt_slot * n + pidx
+    pbx = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid_next], far)
+    pby = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid_next], far)
+    pta = buf.times[slot]
+    pvx = buf.vel_x.reshape(-1)[sid]
+    pvy = buf.vel_y.reshape(-1)[sid]
+    pobj = obj_index[pidx]
+
+    # spatial hash: splat each pair into the <=3x3 cells its reach disc touches
+    cx = 0.5 * (pax + pbx)
+    cy = 0.5 * (pay + pby)
+    dxab = pbx - pax
+    dyab = pby - pay
+    reach = rho + 0.5 * jnp.sqrt(dxab * dxab + dyab * dyab)
+    cell_x = jnp.floor(cx / lam).astype(jnp.int32)
+    cell_y = jnp.floor(cy / lam).astype(jnp.int32)
+    keys = []
+    uses = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ccx = cell_x + dx
+            ccy = cell_y + dy
+            lox = ccx.astype(jnp.float32) * lam
+            loy = ccy.astype(jnp.float32) * lam
+            nx_ = jnp.clip(cx, lox, lox + lam)
+            ny_ = jnp.clip(cy, loy, loy + lam)
+            d2 = (nx_ - cx) ** 2 + (ny_ - cy) ** 2
+            use = pair_valid & (d2 <= (reach + 1e-6) ** 2)
+            keys.append(
+                jnp.where(use, grid_ops.hash_cell_xy(ccx, ccy, n_keys - 1), n_keys)
+            )
+            uses.append(use)
+    key = jnp.stack(keys, axis=1).reshape(-1)  # (pcap * 9,)
+    val = jnp.broadcast_to(
+        jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, 9)
+    ).reshape(-1)
+    skey, sval = jax.lax.sort_key_val(key, val)
+    n_entries = skey.shape[0]
+    starts = jnp.full((n_keys + 1,), n_entries, jnp.int32)
+    starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
+    counts = jnp.zeros((n_keys + 1,), jnp.int32).at[key].add(1)
+    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - params.bin_capacity, 0))
+
+    tables = PairTables(
+        starts=starts, counts=counts, sval=sval, pair_valid=pair_valid,
+        pax=pax, pay=pay, pbx=pbx, pby=pby, pta=pta, pvx=pvx, pvy=pvy,
+        pobj=pobj,
+    )
+    diag = RenderDiag(
+        pairs_used=jnp.minimum(n_pairs, pcap),
+        pairs_dropped=jnp.maximum(n_pairs - pcap, 0),
+        bin_dropped=bin_dropped,
+    )
+    return tables, n_keys, diag
 
 
 def _occupancy_block(px, py, t_e, tables: PairTables, lam, n_keys, cap, dt, rho):
@@ -237,18 +368,14 @@ def _occupancy_block(px, py, t_e, tables: PairTables, lam, n_keys, cap, dt, rho)
     slot = jnp.clip(s[:, None] + j[None, :], 0, tables.sval.shape[0] - 1)
     pid = tables.sval[slot]  # (B, cap)
     ok = (j[None, :] < c[:, None]) & tables.pair_valid[pid]
-    ax, ay = tables.pax[pid], tables.pay[pid]
-    bx, by = tables.pbx[pid], tables.pby[pid]
-    ta_ = tables.pta[pid]
-    tau = (t_e[:, None] - ta_) / dt
-    in_time = (tau >= -0.001) & (tau <= 1.001)
-    tau_c = jnp.clip(tau, 0.0, 1.0)
-    qx = ax + tau_c * (bx - ax)
-    qy = ay + tau_c * (by - ay)
-    dx = px[:, None] - qx
-    dy = py[:, None] - qy
-    dist2 = dx * dx + dy * dy
-    inside = in_time & (dist2 <= rho * rho) & ok
+    inside, dist2 = _occupancy_xy(
+        px[:, None], py[:, None],
+        t_e[:, None],
+        tables.pax[pid], tables.pay[pid],
+        tables.pbx[pid], tables.pby[pid],
+        tables.pta[pid], dt, rho,
+    )
+    inside = inside & ok
     dist2 = jnp.where(inside, dist2, _BIG)
     best = jnp.argmin(dist2, axis=1)
     occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
@@ -257,26 +384,38 @@ def _occupancy_block(px, py, t_e, tables: PairTables, lam, n_keys, cap, dt, rho)
 
 
 def _compose_block(
-    px, py, r, occupied, best_pid, s_first_px, tables: PairTables, objects, cam,
-    params: RenderParams,
+    px, py, r, occupied, best_pid, s_first_px, tables: PairTables, objects,
+    cam, params: RenderParams,
 ):
-    """Shading/composition for one pixel block; returns (B, 3)."""
-    base = objects.base_color[tables.pobj[best_pid]]
-    vel_e = jnp.stack([tables.pvx[best_pid], tables.pvy[best_pid]], axis=-1)
+    """Shading/composition for one pixel block; returns 3 channel arrays."""
+    obj = tables.pobj[best_pid]
+    cr = objects.base_color[:, 0][obj]
+    cg = objects.base_color[:, 1][obj]
+    cb = objects.base_color[:, 2][obj]
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
-    n_hat = jnp.stack(
-        [(cam.pos[0] - px) * inv_r, (cam.pos[1] - py) * inv_r], axis=-1
-    )
-    shaded = shade_hit(base, vel_e, n_hat, cam.vel, params)
-    bg = jnp.ones_like(shaded)
+    nx = (cam.pos[0] - px) * inv_r
+    ny = (cam.pos[1] - py) * inv_r
+    d = doppler_factor_xy(
+        tables.pvx[best_pid], tables.pvy[best_pid], nx, ny
+    ) * camera_doppler_factor_xy(cam.vel[0], cam.vel[1], nx, ny)
+    sr, sg, sb = shade_channels(cr, cg, cb, d, params)
+
     if params.opaque and params.retarded:
         blocked = s_first_px < (r - 2.0 * params.rho)
-        return jnp.where(
-            occupied[:, None],
-            jnp.where(blocked[:, None], shaded * params.absorbed_dim, shaded),
-            jnp.where(blocked[:, None], bg * params.shadow, bg),
-        )
-    return jnp.where(occupied[:, None], shaded, bg)
+
+        def compose(shaded):
+            return jnp.where(
+                occupied,
+                jnp.where(blocked, shaded * params.absorbed_dim, shaded),
+                jnp.where(blocked, jnp.float32(params.shadow), 1.0),
+            )
+
+    else:
+
+        def compose(shaded):
+            return jnp.where(occupied, shaded, 1.0)
+
+    return compose(sr), compose(sg), compose(sb)
 
 
 def _pad_pixels(width, height, cam, block):
@@ -289,27 +428,14 @@ def _pad_pixels(width, height, cam, block):
     pad = n_blocks * block - n_px
     px = jnp.pad(px, (0, pad), constant_values=1.0e9)
     py = jnp.pad(py, (0, pad), constant_values=1.0e9)
-    return (
-        px.reshape(n_blocks, block),
-        py.reshape(n_blocks, block),
-        n_px,
-    )
+    return px.reshape(n_blocks, block), py.reshape(n_blocks, block), n_px
 
 
-def _compose(p, r, occupied, vel_e, obj_e, s_first_px, objects, cam, params):
-    """Shared shading/composition given per-pixel hit info (flat P pixels)."""
-    base = objects.base_color[obj_e]
-    n_hat = (cam.pos - p) / jnp.maximum(r, 1e-12)[..., None]  # event -> camera
-    shaded = shade_hit(base, vel_e, n_hat, cam.vel, params)
-    bg = jnp.ones_like(shaded)
-    if params.opaque and params.retarded:
-        blocked = s_first_px < (r - 2.0 * params.rho)
-        return jnp.where(
-            occupied[:, None],
-            jnp.where(blocked[:, None], shaded * params.absorbed_dim, shaded),
-            jnp.where(blocked[:, None], bg * params.shadow, bg),
-        )
-    return jnp.where(occupied[:, None], shaded, bg)
+def _finalize_image(crgb, n_px, width, height, planar: bool):
+    """(n_blocks, 3, B) channel planes -> image."""
+    planes = crgb.transpose(1, 0, 2).reshape(3, -1)[:, :n_px]
+    img = planes.reshape(3, height, width)
+    return img if planar else img.transpose(1, 2, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -330,56 +456,69 @@ def render_retarded_brute(
     """Reference renderer: every pixel tests every (slot, particle) segment.
     Defines correct output for the accelerated path (SURVEY.md §4)."""
     dt, rho = params.dt, params.rho
-    qa, qb, ta, seg_valid = _segment_data(buf, dt)
+    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
     t_now = buf.times[buf.cursor]
-    t_cap, n = qa.shape[0], qa.shape[1]
+    t_cap, n = qax.shape
 
-    p = pixel_centers(width, height, cam).reshape(-1, 2)
-    rel = p - cam.pos
-    r = jnp.linalg.norm(rel, axis=-1)
-    d_hat = rel / jnp.maximum(r, 1e-12)[..., None]
+    pc = pixel_centers(width, height, cam)
+    px = pc[..., 0].reshape(-1)
+    py = pc[..., 1].reshape(-1)
+    relx, rely = px - cam.pos[0], py - cam.pos[1]
+    r = jnp.sqrt(relx * relx + rely * rely)
+    inv_r = 1.0 / jnp.maximum(r, 1e-12)
+    dhx, dhy = relx * inv_r, rely * inv_r
 
-    qa_f, qb_f = qa.reshape(-1, 2), qb.reshape(-1, 2)
-    ta_f = jnp.repeat(ta, n)
-    valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(qa_f[:, 0]) < 1e8)
-    obj_f = jnp.tile(obj_index, t_cap)
-    vel_f = buf.vel.reshape(-1, 2)
+    fax, fay = qax.reshape(-1), qay.reshape(-1)
+    fbx, fby = qbx.reshape(-1), qby.reshape(-1)
+    fta = jnp.repeat(ta, n)
+    valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
+    fobj = jnp.tile(obj_index, t_cap)
+    fvx = buf.vel_x.reshape(-1)
+    fvy = buf.vel_y.reshape(-1)
 
     t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
-    inside, dist2 = _occupancy_at_event(
-        p[:, None, :], t_e[:, None], qa_f[None], qb_f[None], ta_f[None], dt, rho
+    inside, dist2 = _occupancy_xy(
+        px[:, None], py[:, None], t_e[:, None],
+        fax[None], fay[None], fbx[None], fby[None], fta[None], dt, rho,
     )
     inside = inside & valid_f[None, :]
     dist2 = jnp.where(inside, dist2, _BIG)
     best = jnp.argmin(dist2, axis=1)
     occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
 
-    hit, s_hit, _ = _ray_segment_hit(
-        cam.pos, d_hat[:, None, :], qa_f[None], qb_f[None], ta_f[None], t_now, dt, rho
+    hit, s_hit = _ray_hit_xy(
+        cam.pos[0], cam.pos[1], dhx[:, None], dhy[:, None],
+        fax[None], fay[None], fbx[None], fby[None], fta[None],
+        t_now, dt, rho,
     )
     s_hit = jnp.where(hit & valid_f[None, :], s_hit, _BIG)
     s_first = jnp.min(s_hit, axis=1)
 
-    img = _compose(
-        p, r, occupied, vel_f[best], obj_f[best], s_first, objects, cam, params
+    obj = fobj[best]
+    cr = objects.base_color[:, 0][obj]
+    cg = objects.base_color[:, 1][obj]
+    cb = objects.base_color[:, 2][obj]
+    nx, ny = -dhx, -dhy
+    d = doppler_factor_xy(fvx[best], fvy[best], nx, ny) * camera_doppler_factor_xy(
+        cam.vel[0], cam.vel[1], nx, ny
     )
+    sr, sg, sb = shade_channels(cr, cg, cb, d, params)
+    if params.opaque and params.retarded:
+        blocked = s_first < (r - 2.0 * params.rho)
+        comp = lambda s: jnp.where(
+            occupied,
+            jnp.where(blocked, s * params.absorbed_dim, s),
+            jnp.where(blocked, jnp.float32(params.shadow), 1.0),
+        )
+    else:
+        comp = lambda s: jnp.where(occupied, s, 1.0)
+    img = jnp.stack([comp(sr), comp(sg), comp(sb)], axis=-1)
     return img.reshape(height, width, 3)
 
 
 # ---------------------------------------------------------------------------
 # Accelerated renderer
 # ---------------------------------------------------------------------------
-
-
-def _compact(mask_flat: jax.Array, capacity: int) -> tuple[jax.Array, jax.Array]:
-    """Indices of True entries, padded with -1 to `capacity` (stream
-    compaction via cumsum + scatter — the TPU version of an append buffer)."""
-    write_pos = jnp.cumsum(mask_flat) - 1
-    out = jnp.full((capacity,), -1, jnp.int32)
-    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
-    out = out.at[jnp.where(mask_flat, write_pos, capacity)].set(src, mode="drop")
-    count = jnp.sum(mask_flat.astype(jnp.int32))
-    return out, count
 
 
 def _render_retarded_impl(
@@ -390,20 +529,19 @@ def _render_retarded_impl(
     width: int,
     height: int,
     params: RenderParams,
+    planar: bool,
 ):
-    from . import grid as grid_ops
-
     dt, rho = params.dt, params.rho
     lam = params.cell_size
     t_cap = buf.capacity
-    n = buf.num_particles
     t_now = buf.times[buf.cursor]
 
-    qa, qb, ta, seg_valid = _segment_data(buf, dt)
+    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
 
-    # --- 1. annulus candidate mask over (T, N) ---
-    ra = jnp.linalg.norm(qa - cam.pos, axis=-1)  # (T, N)
-    rb = jnp.linalg.norm(qb - cam.pos, axis=-1)
+    # --- 1. candidate mask over (T, N) ---
+    cxm, cym = cam.pos[0], cam.pos[1]
+    ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
+    rb = jnp.sqrt((qbx - cxm) ** 2 + (qby - cym) ** 2)
     s_hi = t_now - ta  # (T,)
     s_lo = s_hi - dt
     if params.retarded:
@@ -418,91 +556,54 @@ def _render_retarded_impl(
         # instantaneous view: only the newest segment (age 1, tau = 1 at
         # t_now) matters — "measured reality", the filled upgrade of the
         # reference's debug point renderer (points_norel.glsl).
-        newest = (
-            jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
-        )
+        newest = jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
         cand = seg_valid[:, None] & newest[:, None] & (ra < 1.0e8)
 
-    # --- 2. compact pairs + gather per-pair data ---
-    pcap = params.pair_capacity
-    pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
-    pair_valid = pair_sid >= 0
-    sid = jnp.maximum(pair_sid, 0)
-    slot, pidx = sid // n, sid % n
-    pqa = jnp.where(pair_valid[:, None], qa.reshape(-1, 2)[sid], 2.0e9)
-    pqb = jnp.where(pair_valid[:, None], qb.reshape(-1, 2)[sid], 2.0e9)
-    pta = ta[slot]
-    pvel = buf.vel.reshape(-1, 2)[sid]
-    pobj = obj_index[pidx]
-
-    # --- 3. spatial hash of pairs (cells of size lam >= 2 * max reach) ---
-    n_keys = params.table_factor * pcap  # power of two when pcap is
-    center = 0.5 * (pqa + pqb)
-    reach = rho + 0.5 * jnp.linalg.norm(pqb - pqa, axis=-1)  # (P,)
-    cell0 = grid_ops.cell_of(center, lam)  # (P, 2)
-    # splat into every cell of the 3x3 block whose box the reach disc touches
-    doffs = jnp.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32)
-    cells = cell0[:, None, :] + doffs[None, :, :]  # (P, 9, 2)
-    lo = cells.astype(jnp.float32) * lam
-    nearest = jnp.clip(center[:, None, :], lo, lo + lam)
-    d2cell = jnp.sum((nearest - center[:, None, :]) ** 2, axis=-1)  # (P, 9)
-    use = pair_valid[:, None] & (d2cell <= (reach[:, None] + 1e-6) ** 2)
-    key = jnp.where(use, grid_ops.hash_cell(cells, n_keys - 1), n_keys).reshape(-1)
-    val = jnp.broadcast_to(
-        jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, 9)
-    ).reshape(-1)
-    skey, sval = jax.lax.sort_key_val(key, val)
-    n_entries = skey.shape[0]
-    starts = jnp.full((n_keys + 1,), n_entries, jnp.int32)
-    starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
-    counts = jnp.zeros((n_keys + 1,), jnp.int32).at[key].add(1)
-    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - params.bin_capacity, 0))
+    # --- 2./3. compact pairs + spatial hash ---
+    tables, n_keys, diag = _build_pair_tables(buf, obj_index, cand, params)
 
     # --- 4. 1D retina: exact first hit per angle, dense over all pairs ---
     use_rays = params.opaque and params.retarded
     n_rays = params.num_rays
+    pcap = params.pair_capacity
     theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
-    d_hat = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)  # (R, 2)
-    chunk = min(params.ray_chunk, pcap)
-    n_chunks = -(-pcap // chunk)
-    pad = n_chunks * chunk - pcap
-
-    def pad0(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-
-    cqa = pad0(pqa).reshape(n_chunks, chunk, 2)
-    cqb = pad0(pqb).reshape(n_chunks, chunk, 2)
-    cta = jnp.pad(pta, (0, pad)).reshape(n_chunks, chunk)
-    cok = jnp.pad(pair_valid, (0, pad)).reshape(n_chunks, chunk)
-
-    def ray_chunk_step(s_min, args):
-        a, b, t, ok = args
-        hit, s_hit, _ = _ray_segment_hit(
-            cam.pos, d_hat[:, None, :], a[None], b[None], t[None], t_now, dt, rho
-        )
-        s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
-        return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
-
+    dhx = jnp.cos(theta)
+    dhy = jnp.sin(theta)
     if use_rays:
+        chunk = min(params.ray_chunk, pcap)
+        n_chunks = -(-pcap // chunk)
+        pad = n_chunks * chunk - pcap
+        padv = lambda x: jnp.pad(x, (0, pad)).reshape(n_chunks, chunk)
+        cax, cay = padv(tables.pax), padv(tables.pay)
+        cbx, cby = padv(tables.pbx), padv(tables.pby)
+        cta = padv(tables.pta)
+        cok = jnp.pad(tables.pair_valid, (0, pad)).reshape(n_chunks, chunk)
+
+        def ray_chunk_step(s_min, args):
+            ax, ay, bx, by, t_, ok = args
+            hit, s_hit = _ray_hit_xy(
+                cxm, cym, dhx[:, None], dhy[:, None],
+                ax[None], ay[None], bx[None], by[None], t_[None],
+                t_now, dt, rho,
+            )
+            s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
+            return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
+
         s_first, _ = jax.lax.scan(
-            ray_chunk_step, jnp.full((n_rays,), _BIG), (cqa, cqb, cta, cok)
+            ray_chunk_step, jnp.full((n_rays,), _BIG),
+            (cax, cay, cbx, cby, cta, cok),
         )
     else:
         s_first = jnp.full((n_rays,), _BIG)
 
     # --- 5. per-pixel retarded occupancy + shading, chunked pixel blocks ---
-    tables = PairTables(
-        starts=starts, counts=counts, sval=sval, pair_valid=pair_valid,
-        pax=pqa[:, 0], pay=pqa[:, 1], pbx=pqb[:, 0], pby=pqb[:, 1],
-        pta=pta, pvx=pvel[:, 0], pvy=pvel[:, 1], pobj=pobj,
-    )
     pxs, pys, n_px = _pad_pixels(width, height, cam, params.pixel_block)
     cap = params.bin_capacity
 
     def block_fn(args):
         px, py = args
-        relx = px - cam.pos[0]
-        rely = py - cam.pos[1]
+        relx = px - cxm
+        rely = py - cym
         r = jnp.sqrt(relx * relx + rely * rely)
         t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
         occupied, best_pid = _occupancy_block(
@@ -513,22 +614,18 @@ def _render_retarded_impl(
             jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
             0, n_rays - 1,
         )
-        return _compose_block(
+        sr, sg, sb = _compose_block(
             px, py, r, occupied, best_pid, s_first[ray_of_pix], tables,
             objects, cam, params,
         )
+        return jnp.stack([sr, sg, sb], axis=0)  # (3, B)
 
-    colors = jax.lax.map(block_fn, (pxs, pys))
-    img = colors.reshape(-1, 3)[:n_px].reshape(height, width, 3)
-    diag = RenderDiag(
-        pairs_used=jnp.minimum(n_pairs, pcap),
-        pairs_dropped=jnp.maximum(n_pairs - pcap, 0),
-        bin_dropped=bin_dropped,
-    )
+    crgb = jax.lax.map(block_fn, (pxs, pys))  # (n_blocks, 3, B)
+    img = _finalize_image(crgb, n_px, width, height, planar)
     return img, diag
 
 
-@partial(jax.jit, static_argnames=("width", "height", "params"))
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
 def render_retarded(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
@@ -537,12 +634,15 @@ def render_retarded(
     width: int,
     height: int,
     params: RenderParams,
+    planar: bool = False,
 ) -> jax.Array:
-    img, _ = _render_retarded_impl(buf, obj_index, objects, cam, width, height, params)
+    img, _ = _render_retarded_impl(
+        buf, obj_index, objects, cam, width, height, params, planar
+    )
     return img
 
 
-@partial(jax.jit, static_argnames=("width", "height", "params"))
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
 def render_retarded_with_diag(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
@@ -551,5 +651,8 @@ def render_retarded_with_diag(
     width: int,
     height: int,
     params: RenderParams,
+    planar: bool = False,
 ):
-    return _render_retarded_impl(buf, obj_index, objects, cam, width, height, params)
+    return _render_retarded_impl(
+        buf, obj_index, objects, cam, width, height, params, planar
+    )

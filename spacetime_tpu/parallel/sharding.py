@@ -45,7 +45,8 @@ def worldline_sharding(mesh: Mesh, axis: str = "d"):
     t_row = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     return wl.WorldlineBuffer(
-        pos=t_row, vel=t_row, times=t_row, cursor=rep, frames_in_use=rep
+        pos_x=t_row, pos_y=t_row, vel_x=t_row, vel_y=t_row,
+        times=t_row, cursor=rep, frames_in_use=rep,
     )
 
 
