@@ -11,6 +11,7 @@ Extra sub-metrics (steps/sec physics only, Mrays/sec) go to stderr.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -47,6 +48,9 @@ def build():
     cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
     params = raytrace.RenderParams(
         dt=model.params.h, pair_capacity=65536, num_rays=4096
+    )
+    params = dataclasses.replace(
+        params, cell_px=raytrace.auto_cell_px(params, width, height, 1.2)
     )
 
     def frame(particles, buf, cam, t):

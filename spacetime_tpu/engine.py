@@ -188,6 +188,18 @@ class Engine:
             pos=self.camera.pos + new_v * dt, zoom=self.camera.zoom, vel=new_v
         )
 
+    def _render_params(self) -> "raytrace.RenderParams":
+        """Static render params with the view-cell size derived from the
+        CURRENT zoom (k changes quantize to ints, so interactive zooming
+        recompiles only when crossing a cell-size boundary)."""
+        cfg = self.config
+        k = raytrace.auto_cell_px(
+            cfg.render, cfg.width, cfg.height, float(self.camera.zoom)
+        )
+        if cfg.render.cell_px == k:
+            return cfg.render
+        return dataclasses.replace(cfg.render, cell_px=k)
+
     def render(self) -> jax.Array:
         cfg = self.config
         mode = cfg.render_mode
@@ -195,13 +207,14 @@ class Engine:
             return rasterize.render_points(
                 self.particles, self.objects, self.camera, cfg.width, cfg.height
             )
+        rparams = self._render_params()
         if mode == "retarded":
             return raytrace.render_retarded(
                 self.worldline, self.particles.object_index, self.objects,
-                self.camera, cfg.width, cfg.height, cfg.render,
+                self.camera, cfg.width, cfg.height, rparams,
             )
         if mode == "instant":
-            params = dataclasses.replace(cfg.render, opaque=False, retarded=False)
+            params = dataclasses.replace(rparams, opaque=False, retarded=False)
             return raytrace.render_retarded(
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, cfg.width, cfg.height, params,
@@ -214,7 +227,7 @@ class Engine:
             defect = curved.ConicalDefect.create(*cfg.defect)
             return curved.render_retarded_conical(
                 self.worldline, self.particles.object_index, self.objects,
-                self.camera, defect, cfg.width, cfg.height, cfg.render,
+                self.camera, defect, cfg.width, cfg.height, rparams,
             )
         raise ValueError(f"unknown render mode {mode!r}")
 

@@ -28,15 +28,13 @@ class SoftbodyModel:
 
     capacity: int
     params: PhysicsParams = DEFAULT_PARAMS
-    table_size: Optional[int] = None
-    # Two interpenetrating lattices can pack 8 particles per 0.005-cell
-    # (4 each at 0.0035 spacing); 12 leaves headroom for hash collisions.
-    cell_capacity: int = 12
+    # Dense cell-grid live extent = grid_dim * grid_resolution lightseconds
+    # (512 -> 2.56 ls); the origin floats with the scene each step.
+    grid_dim: int = 512
+    # Two interpenetrating lattices pack 8 particles per 0.005-cell
+    # (4 each at 0.0035 spacing).
+    cell_capacity: int = 8
     integrator: str = "rk4"
-
-    def __post_init__(self):
-        if self.table_size is None:
-            object.__setattr__(self, "table_size", grid_ops.default_table_size(self.capacity))
 
     def rest_lengths(self) -> jax.Array:
         return jnp.asarray(self.params.rest_lengths())
@@ -49,7 +47,7 @@ class SoftbodyModel:
             particles,
             self.params,
             self.rest_lengths(),
-            self.table_size,
+            self.grid_dim,
             self.cell_capacity,
             self.integrator,
         )
@@ -65,7 +63,7 @@ class SoftbodyModel:
                 p,
                 self.params,
                 self.rest_lengths(),
-                self.table_size,
+                self.grid_dim,
                 self.cell_capacity,
                 self.integrator,
             )

@@ -44,12 +44,14 @@ from ..state import Objects
 from .raytrace import (
     RenderParams,
     _BIG,
-    _build_pair_tables,
-    _compose_block,
-    _finalize_image,
-    _occupancy_block,
-    _pad_pixels,
+    _assemble_image,
+    _build_view_tables,
+    _cell_pixel_coords,
+    _compact_pairs,
+    _compose_cells,
+    _occupancy_cells,
     _segment_data,
+    _view_grid,
 )
 from .worldline import WorldlineBuffer
 
@@ -117,11 +119,10 @@ def render_retarded_conical(
     Structure mirrors the flat accelerated path; the light-cone radius per
     route is the geodesic length instead of |p - cam|."""
     dt, rho = params.dt, params.rho
-    lam = params.cell_size
     t_now = buf.times[buf.cursor]
     qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
 
-    # --- candidate mask per ROUTE (union) ---
+    # --- candidate mask per ROUTE (union), culled to the view rect ---
     cxm, cym = cam.pos[0], cam.pos[1]
     l1a, l2a, _ = geodesic_lengths_xy(qax, qay, cxm, cym, defect)  # (T, N)
     l1b, l2b, _ = geodesic_lengths_xy(qbx, qby, cxm, cym, defect)
@@ -133,39 +134,56 @@ def render_retarded_conical(
             jnp.minimum(la, lb) <= s_hi[:, None] + rho
         )
 
+    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
+    margin = 4.0 * (rho + dt)
+    inside_view = (
+        (jnp.maximum(qax, qbx) >= x0 - margin)
+        & (jnp.minimum(qax, qbx) <= x0 + width * pixel_size + margin)
+        & (jnp.maximum(qay, qby) >= y0 - margin)
+        & (jnp.minimum(qay, qby) <= y0 + height * pixel_size + margin)
+    )
     cand = (
         seg_valid[:, None]
         & (s_hi[:, None] > 0)
         & (route_mask(l1a, l1b) | route_mask(l2a, l2b))
+        & inside_view
         & (jnp.abs(qax) < 1.0e8)
     )
 
-    tables, n_keys, _diag = _build_pair_tables(buf, obj_index, cand, params)
+    pairs = _compact_pairs(buf, obj_index, cand, params)
+    tables, _bdrop, _small, geom = _build_view_tables(
+        pairs, cam, width, height, params
+    )
+    wc_img, hc_img, _ps, _gx, _gy = geom
 
-    # --- per-pixel occupancy, both routes, chunked pixel blocks ---
-    pxs, pys, n_px = _pad_pixels(width, height, cam, params.pixel_block)
-    cap = params.bin_capacity
+    # --- per-pixel occupancy, both routes, dense cell blocks ---
+    pxs, pys = _cell_pixel_coords(width, height, cam, params)
+    cb = params.cells_per_block
+    n_blocks = pxs.shape[0] // cb
     xray = dataclasses.replace(params, opaque=False)
 
     def block_fn(args):
-        px, py = args
+        vdat, vok, px, py = args
         lp1, lp2, _v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
-        occ1, bid1 = _occupancy_block(
-            px, py, t_now - lp1, tables, lam, n_keys, cap, dt, rho
-        )
-        occ2, bid2 = _occupancy_block(
-            px, py, t_now - lp2, tables, lam, n_keys, cap, dt, rho
-        )
+        occ1, best1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
+        occ2, best2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
         # shorter route wins where both hit (younger, brighter image)
         use1 = occ1 | ~occ2
         occupied = occ1 | occ2
-        best_pid = jnp.where(use1, bid1, bid2)
+        best = jnp.where(use1, best1, best2)
         r_eff = jnp.where(use1, lp1, lp2)
-        sr, sg, sb = _compose_block(
-            px, py, r_eff, occupied, best_pid, jnp.full_like(r_eff, _BIG),
-            tables, objects, cam, xray,
+        return _compose_cells(
+            px, py, r_eff, occupied, best, jnp.full_like(r_eff, _BIG),
+            vdat, objects, cam, xray,
         )
-        return jnp.stack([sr, sg, sb], axis=0)
 
-    crgb = jax.lax.map(block_fn, (pxs, pys))
-    return _finalize_image(crgb, n_px, width, height, planar)
+    crgb = jax.lax.map(
+        block_fn,
+        (
+            tables.vdat.reshape(n_blocks, cb, *tables.vdat.shape[1:]),
+            tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
+            pxs.reshape(n_blocks, cb, -1),
+            pys.reshape(n_blocks, cb, -1),
+        ),
+    )
+    return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)

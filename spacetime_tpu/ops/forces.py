@@ -97,6 +97,101 @@ def total_forces(
     )
 
 
+# ---------------------------------------------------------------------------
+# Row-gather fast path (dense cell table) — see ops/grid.py CellTable notes.
+# Scalar gathers serialize on TPU (~8.7 ns/elem); everything below uses ROW
+# gathers (~2.5 ns/row) or static-offset lookups instead.
+# ---------------------------------------------------------------------------
+
+
+def pack_pos_rows(px: jax.Array, py: jax.Array) -> jax.Array:
+    """(N, 8) rows holding [x, y, 0, ...] so neighbor positions come back
+    from ONE row gather instead of two scalar gathers."""
+    n = px.shape[0]
+    rows = jnp.zeros((n, 8), px.dtype)
+    return rows.at[:, 0].set(px).at[:, 1].set(py)
+
+
+def spring_forces_rows(
+    px: jax.Array,
+    py: jax.Array,
+    neighbors: jax.Array,  # (N, 8)
+    rest_lengths: jax.Array,  # (8,)
+    k: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Hooke springs via row-gathered neighbor positions; returns (fx, fy)."""
+    n = px.shape[0]
+    rows = pack_pos_rows(px, py)
+    nbr = jnp.clip(neighbors, 0, n - 1)
+    g = rows[nbr]  # (N, 8 slots, 8) — one row gather
+    dx = px[:, None] - g[..., 0]
+    dy = py[:, None] - g[..., 1]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    valid = neighbors >= 0
+    inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
+    mag = jnp.where(valid, -k * (dist - rest_lengths[None, :]) * inv, 0.0)
+    return jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)
+
+
+def collision_forces_cells(
+    px: jax.Array,
+    py: jax.Array,
+    xy_rows: jax.Array,  # (n_cells + 1, 2*cap) per-stage position planes
+    ncell: jax.Array,  # (N, 9) neighbor cell ids (grid.neighbor_cells)
+    idx_nbr: jax.Array,  # (N, 9, cap) candidate particle ids (-1 empty)
+    neighbors: jax.Array,  # (N, 8) bond table
+    collision_distance: float,
+    repulsion: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Constant-magnitude repulsion over the 9-cell neighborhood
+    (softbodyrk4.glsl:90-114) with zero scalar gathers: candidate positions
+    arrive via one row gather of the per-stage position planes."""
+    n = px.shape[0]
+    cap = xy_rows.shape[1] // 2
+    xy = xy_rows[ncell]  # (N, 9, 2*cap) — one row gather per stage
+    candx = xy[..., :cap]
+    candy = xy[..., cap:]
+    ddx = px[:, None, None] - candx
+    ddy = py[:, None, None] - candy
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+    valid = idx_nbr >= 0
+    is_self = idx_nbr == jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    is_bond = jnp.zeros_like(valid)
+    for s in range(neighbors.shape[1]):
+        is_bond = is_bond | (idx_nbr == neighbors[:, s][:, None, None])
+    hit = valid & ~is_self & ~is_bond & (dist < collision_distance) & (dist > 0)
+    mag = jnp.where(hit, repulsion / jnp.maximum(dist, _EPS), 0.0)
+    return (
+        jnp.sum(mag * ddx, axis=(1, 2)),
+        jnp.sum(mag * ddy, axis=(1, 2)),
+    )
+
+
+def total_forces_cells(
+    pos: jax.Array,
+    neighbors: jax.Array,
+    table,
+    ncell: jax.Array,
+    idx_nbr: jax.Array,
+    rest_lengths: jax.Array,
+    params: PhysicsParams,
+) -> jax.Array:
+    """get_forces (softbodyrk4.glsl:84-143) on the dense cell table."""
+    from . import grid as grid_ops
+
+    px, py = pos[:, 0], pos[:, 1]
+    cap = idx_nbr.shape[-1]
+    plane_x = grid_ops.scatter_plane(table, px, 1.0e9)
+    plane_y = grid_ops.scatter_plane(table, py, 1.0e9)
+    xy_rows = jnp.concatenate([plane_x, plane_y], axis=1)  # (n_cells+1, 2cap)
+    sfx, sfy = spring_forces_rows(px, py, neighbors, rest_lengths, params.k)
+    cfx, cfy = collision_forces_cells(
+        px, py, xy_rows, ncell, idx_nbr, neighbors,
+        params.collision_distance, params.collision_repulsion_coefficient,
+    )
+    return jnp.stack([sfx + cfx, sfy + cfy], axis=-1)
+
+
 def total_forces_dense(
     pos: jax.Array,
     neighbors: jax.Array,

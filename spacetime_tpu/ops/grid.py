@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -138,6 +139,112 @@ def grid_overflow(grid: CollisionGrid, cell_capacity: int) -> jax.Array:
     """Total candidates dropped by the capacity cap (diagnostic)."""
     over = jnp.maximum(grid.counts[:-1] - cell_capacity, 0)
     return jnp.sum(over)
+
+
+# ---------------------------------------------------------------------------
+# Dense halo cell table (the fast physics path)
+# ---------------------------------------------------------------------------
+#
+# TPU microbenchmarks (2026-08-16, v5e): scalar gathers cost ~8.7 ns/element
+# (serialized), row gathers ~2.5 ns/row.  The hash-grid candidate gather
+# above costs (N, 9*K) SCALAR gathers per force evaluation; this dense table
+# replaces it with 9 static-offset ROW gathers: particles are binned into a
+# dense (cells+halo, cap) slot grid whose per-cell rows hold positions, so a
+# particle's 9-cell neighborhood is 9 row lookups.  The one-cell halo makes
+# neighbor cell ids always in-range (no border branches), like a ghost-cell
+# stencil.  The binning (slots) is built once per step from start-of-step
+# positions — exactly the reference's grid reuse across RK4 stages
+# (softbody/mod.rs:557-596) — while position planes are re-scattered per
+# stage so forces see intermediate positions (softbodyrk4.glsl state reads).
+
+
+class CellTable(NamedTuple):
+    """Per-step binning of particles into a dense halo grid."""
+
+    slot: jax.Array  # (N,) i32 — flat slot (cell*cap + rank); dump slot if invalid
+    cell: jax.Array  # (N,) i32 — flat halo cell id; n_cells for inactive
+    idx_rows: jax.Array  # (n_cells + 1, cap) i32 — particle id per slot, -1 empty
+    overflow: jax.Array  # () i32 — particles dropped by the per-cell cap
+    origin: jax.Array  # (2,) f32 — grid origin (traced)
+
+    @property
+    def cap(self) -> int:
+        return self.idx_rows.shape[1]
+
+    @property
+    def n_cells(self) -> int:
+        return self.idx_rows.shape[0] - 1
+
+
+def build_cell_table(
+    pos: jax.Array,
+    active: jax.Array,
+    grid_resolution,
+    grid_dim: int,
+    cell_capacity: int,
+) -> CellTable:
+    """Bin particles into a (grid_dim + 2 halo)^2 dense cell grid.
+
+    The grid origin floats with the scene (min active position minus one
+    cell), so the static `grid_dim` only caps the live EXTENT
+    (grid_dim * resolution lightseconds); out-of-extent particles clamp into
+    border cells, which keeps near-pairs co-located (correct, just denser).
+    """
+    n = pos.shape[0]
+    cap = cell_capacity
+    side = grid_dim + 2
+    n_cells = side * side
+    px, py = pos[:, 0], pos[:, 1]
+    big = jnp.float32(3.0e38)
+    ox = jnp.min(jnp.where(active, px, big)) - 2.0 * grid_resolution
+    oy = jnp.min(jnp.where(active, py, big)) - 2.0 * grid_resolution
+    cx = jnp.clip(jnp.floor((px - ox) / grid_resolution).astype(jnp.int32), 0, grid_dim - 1) + 1
+    cy = jnp.clip(jnp.floor((py - oy) / grid_resolution).astype(jnp.int32), 0, grid_dim - 1) + 1
+    cell = jnp.where(active, cy * side + cx, n_cells)
+
+    skey, sidx = jax.lax.sort_key_val(cell, jnp.arange(n, dtype=jnp.int32))
+    starts = jnp.full((n_cells + 2,), n, jnp.int32)
+    starts = starts.at[skey].min(jnp.arange(n, dtype=jnp.int32))
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts[skey]
+    rank = jnp.zeros((n,), jnp.int32).at[sidx].set(rank_sorted)
+
+    fits = active & (rank < cap)
+    dump = n_cells * cap  # first slot of the (empty) dump row
+    slot = jnp.where(fits, cell * cap + rank, dump)
+    idx_rows = jnp.full(((n_cells + 1) * cap,), -1, jnp.int32)
+    idx_rows = idx_rows.at[slot].set(jnp.arange(n, dtype=jnp.int32))
+    # the dump slot may hold one arbitrary id; erase it
+    idx_rows = idx_rows.at[dump].set(-1)
+    overflow = jnp.sum((active & (rank >= cap)).astype(jnp.int32))
+    return CellTable(
+        slot=slot,
+        cell=cell,
+        idx_rows=idx_rows.reshape(n_cells + 1, cap),
+        overflow=overflow,
+        origin=jnp.stack([ox, oy]),
+    )
+
+
+def scatter_plane(table: CellTable, values: jax.Array, fill: float) -> jax.Array:
+    """Scatter per-particle scalar values into the table's slot layout,
+    returning (n_cells + 1, cap) rows.  Called per RK4 stage for positions."""
+    cap = table.cap
+    plane = jnp.full(((table.n_cells + 1) * cap,), fill, values.dtype)
+    plane = plane.at[table.slot].set(values)
+    plane = plane.at[table.n_cells * cap].set(fill)  # clear dump slot
+    return plane.reshape(table.n_cells + 1, cap)
+
+
+def neighbor_cells(table: CellTable, grid_dim: int) -> jax.Array:
+    """(N, 9) flat cell ids of each particle's 3x3 neighborhood (halo makes
+    all offsets in-range); inactive particles point at the empty dump row."""
+    side = grid_dim + 2
+    offs = jnp.array(
+        [dy * side + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32
+    )
+    ncell = table.cell[:, None] + offs[None, :]
+    # inactive (cell == n_cells) stays clamped at the dump row
+    return jnp.clip(ncell, 0, table.n_cells)
 
 
 def default_table_size(capacity: int) -> int:

@@ -88,7 +88,8 @@ class RenderParams:
     table_factor: int = 4  # hash table size = table_factor * pair_capacity
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     ray_chunk: int = 2048  # pairs per scan chunk in the retina march
-    pixel_block: int = 131072  # pixels per lax.map block (bounds HBM working set)
+    cell_px: int = 16  # view-cell edge in pixels; k*pixel_size must be >= reach
+    cells_per_block: int = 512  # view cells per lax.map block (bounds HBM)
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
     doppler: bool = True
@@ -99,16 +100,24 @@ class RenderParams:
     shadow: float = 0.78  # background brightness in occluded regions
 
     @property
-    def cell_size(self) -> float:
-        """Hash cell edge; >= 2x max capsule reach (rho + c*dt/2) so a pixel's
-        own cell is guaranteed to contain every capsule that can cover it."""
-        return 2.0 * (self.rho + 0.5 * self.dt)
+    def reach(self) -> float:
+        """Max capsule reach: rho + half a max-speed tick of motion."""
+        return self.rho + 0.5 * self.dt
+
+
+def auto_cell_px(params: RenderParams, width: int, height: int, zoom: float) -> int:
+    """Smallest view-cell edge (pixels) satisfying the coverage constraint
+    cell_px * pixel_size >= reach, so a capsule splatted into its 3x3 cells
+    is visible from every pixel it can cover."""
+    pixel_size = zoom / max(width, height)
+    return max(1, int(-(-params.reach // pixel_size)))
 
 
 class RenderDiag(NamedTuple):
     pairs_used: jax.Array  # compacted cone-crossing segment count
     pairs_dropped: jax.Array  # pairs beyond pair_capacity
     bin_dropped: jax.Array  # splat entries beyond bin_capacity
+    cell_too_small: jax.Array  # bool: cell_px violates the coverage constraint
 
 
 # ---------------------------------------------------------------------------
@@ -249,25 +258,27 @@ def _occupancy_xy(px, py, t_e, ax, ay, bx, by, ta, dt, rho):
 
 
 # ---------------------------------------------------------------------------
-# Shared pixel-pass machinery
+# Shared pixel-pass machinery (view-cell aligned, fully dense)
 # ---------------------------------------------------------------------------
+#
+# TPU microbenchmarks (see ops/grid.py): scalar gathers serialize at
+# ~8.7 ns/element — a per-pixel hash lookup at 1080p costs >1 s/frame.  The
+# aligned design removes per-pixel gathers entirely: the image is tiled into
+# k x k pixel blocks (k = cell_px) that coincide exactly with the candidate
+# binning cells, so pixel <-> candidate matching is pure INDEX ARITHMETIC
+# (static slices + lane-axis take_along_axis), and candidate data is fetched
+# once per CELL (row gathers) instead of once per pixel.
 
 
-class PairTables(NamedTuple):
-    """Scalar-component pair data + spatial hash table."""
+class ViewTables(NamedTuple):
+    """Per-frame candidate data densified onto the image's view-cell grid."""
 
-    starts: jax.Array
-    counts: jax.Array
-    sval: jax.Array
-    pair_valid: jax.Array
-    pax: jax.Array
-    pay: jax.Array
-    pbx: jax.Array
-    pby: jax.Array
-    pta: jax.Array
-    pvx: jax.Array
-    pvy: jax.Array
-    pobj: jax.Array
+    vdat: jax.Array  # (n_img_cells_padded, cap, 8) f32 packed pair rows
+    vok: jax.Array  # (n_img_cells_padded, cap) bool
+    n_img_cells: int  # before padding (static)
+
+
+_F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_OBJ = range(8)
 
 
 def _compact(mask_flat: jax.Array, capacity: int):
@@ -281,124 +292,199 @@ def _compact(mask_flat: jax.Array, capacity: int):
     return out, count
 
 
-def _build_pair_tables(buf, obj_index, cand, params: RenderParams):
-    """Compact the (T, N) candidate mask and build the spatial hash."""
-    from . import grid as grid_ops
+class PairData(NamedTuple):
+    """Compacted cone-crossing segments, packed for row gathers."""
 
-    rho, lam = params.rho, params.cell_size
+    pdata: jax.Array  # (pcap, 8) f32 — see _F_* field order
+    pair_valid: jax.Array  # (pcap,)
+    n_pairs: jax.Array  # () i32 (pre-cap count)
+
+
+def _compact_pairs(buf, obj_index, cand, params: RenderParams) -> PairData:
     t_cap, n = cand.shape
     pcap = params.pair_capacity
-    n_keys = params.table_factor * pcap
-
     pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
     pair_valid = pair_sid >= 0
     sid = jnp.maximum(pair_sid, 0)
     slot, pidx = sid // n, sid % n
     far = 2.0e9
-    nxt_slot = (slot + 1) % t_cap
+    sid_next = ((slot + 1) % t_cap) * n + pidx
     pax = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid], far)
     pay = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid], far)
-    sid_next = nxt_slot * n + pidx
     pbx = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid_next], far)
     pby = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid_next], far)
-    pta = buf.times[slot]
-    pvx = buf.vel_x.reshape(-1)[sid]
-    pvy = buf.vel_y.reshape(-1)[sid]
-    pobj = obj_index[pidx]
+    pdata = jnp.stack(
+        [
+            pax, pay, pbx, pby,
+            buf.times[slot],
+            buf.vel_x.reshape(-1)[sid],
+            buf.vel_y.reshape(-1)[sid],
+            obj_index[pidx].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    return PairData(pdata=pdata, pair_valid=pair_valid, n_pairs=n_pairs)
 
-    # spatial hash: splat each pair into the <=3x3 cells its reach disc touches
-    cx = 0.5 * (pax + pbx)
-    cy = 0.5 * (pay + pby)
-    dxab = pbx - pax
-    dyab = pby - pay
-    reach = rho + 0.5 * jnp.sqrt(dxab * dxab + dyab * dyab)
-    cell_x = jnp.floor(cx / lam).astype(jnp.int32)
-    cell_y = jnp.floor(cy / lam).astype(jnp.int32)
+
+def _view_grid(width, height, cam, k):
+    """Static view-cell grid dims + traced geometry.
+
+    Returns (wc_img, hc_img, pixel_size, x0, y0) where (x0, y0) is the world
+    position of pixel (0, 0)'s center."""
+    wc_img = -(-width // k)
+    hc_img = -(-height // k)
+    larger = max(width, height)
+    pixel_size = cam.zoom / larger
+    x0 = cam.pos[0] - (width - 1) / 2.0 * pixel_size
+    y0 = cam.pos[1] - (height - 1) / 2.0 * pixel_size
+    return wc_img, hc_img, pixel_size, x0, y0
+
+
+def _build_view_tables(
+    pairs: PairData, cam, width: int, height: int, params: RenderParams
+):
+    """Splat compacted pairs into the (view cells + 1 halo) grid, then
+    densify: one scatter of pair ids + one row gather of pair data.
+    Returns (ViewTables, bin_dropped, cell_too_small, geometry)."""
+    k = params.cell_px
+    cap = params.bin_capacity
+    pcap = params.pair_capacity
+    wc_img, hc_img, pixel_size, x0, y0 = _view_grid(width, height, cam, k)
+    wc, hc = wc_img + 2, hc_img + 2  # +1 halo cell each side
+    n_vcells = wc * hc
+    lam = k * pixel_size  # traced cell edge (world units)
+    # halo-grid origin: half a pixel before pixel (0,0), minus one cell
+    gx0 = x0 - 0.5 * pixel_size - lam
+    gy0 = y0 - 0.5 * pixel_size - lam
+
+    pd = pairs.pdata
+    cx = 0.5 * (pd[:, _F_AX] + pd[:, _F_BX])
+    cy = 0.5 * (pd[:, _F_AY] + pd[:, _F_BY])
+    seg = jnp.sqrt(
+        (pd[:, _F_BX] - pd[:, _F_AX]) ** 2 + (pd[:, _F_BY] - pd[:, _F_AY]) ** 2
+    )
+    reach = params.rho + 0.5 * seg
+    cell_x = jnp.floor((cx - gx0) / lam).astype(jnp.int32)
+    cell_y = jnp.floor((cy - gy0) / lam).astype(jnp.int32)
+
     keys = []
-    uses = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             ccx = cell_x + dx
             ccy = cell_y + dy
-            lox = ccx.astype(jnp.float32) * lam
-            loy = ccy.astype(jnp.float32) * lam
+            in_grid = (ccx >= 0) & (ccx < wc) & (ccy >= 0) & (ccy < hc)
+            lox = gx0 + ccx.astype(jnp.float32) * lam
+            loy = gy0 + ccy.astype(jnp.float32) * lam
             nx_ = jnp.clip(cx, lox, lox + lam)
             ny_ = jnp.clip(cy, loy, loy + lam)
             d2 = (nx_ - cx) ** 2 + (ny_ - cy) ** 2
-            use = pair_valid & (d2 <= (reach + 1e-6) ** 2)
-            keys.append(
-                jnp.where(use, grid_ops.hash_cell_xy(ccx, ccy, n_keys - 1), n_keys)
-            )
-            uses.append(use)
+            use = pairs.pair_valid & in_grid & (d2 <= (reach + 1e-6) ** 2)
+            keys.append(jnp.where(use, ccy * wc + ccx, n_vcells))
     key = jnp.stack(keys, axis=1).reshape(-1)  # (pcap * 9,)
     val = jnp.broadcast_to(
         jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, 9)
     ).reshape(-1)
+
     skey, sval = jax.lax.sort_key_val(key, val)
     n_entries = skey.shape[0]
-    starts = jnp.full((n_keys + 1,), n_entries, jnp.int32)
+    starts = jnp.full((n_vcells + 2,), n_entries, jnp.int32)
     starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
-    counts = jnp.zeros((n_keys + 1,), jnp.int32).at[key].add(1)
-    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - params.bin_capacity, 0))
-
-    tables = PairTables(
-        starts=starts, counts=counts, sval=sval, pair_valid=pair_valid,
-        pax=pax, pay=pay, pbx=pbx, pby=pby, pta=pta, pvx=pvx, pvy=pvy,
-        pobj=pobj,
+    rank = jnp.arange(n_entries, dtype=jnp.int32) - starts[skey]
+    fits = (skey < n_vcells) & (rank < cap)
+    dump = n_vcells * cap
+    slot = jnp.where(fits, skey * cap + rank, dump)
+    vslot = jnp.full((n_vcells * cap + 1,), -1, jnp.int32)
+    vslot = vslot.at[slot].set(sval)
+    vslot = vslot.at[dump].set(-1)
+    counts = jnp.zeros((n_vcells + 1,), jnp.int32).at[jnp.minimum(key, n_vcells)].add(
+        (key < n_vcells).astype(jnp.int32)
     )
-    diag = RenderDiag(
-        pairs_used=jnp.minimum(n_pairs, pcap),
-        pairs_dropped=jnp.maximum(n_pairs - pcap, 0),
-        bin_dropped=bin_dropped,
-    )
-    return tables, n_keys, diag
+    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - cap, 0))
+
+    vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
+    vok = vslot >= 0
+    vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, 8) row gather
+
+    n_img_cells = wc_img * hc_img
+    vdat = vdat.reshape(n_img_cells, cap, 8)
+    vok = vok.reshape(n_img_cells, cap)
+    cb = params.cells_per_block
+    n_blocks = -(-n_img_cells // cb)
+    pad = n_blocks * cb - n_img_cells
+    vdat = jnp.pad(vdat, ((0, pad), (0, 0), (0, 0)))
+    vok = jnp.pad(vok, ((0, pad), (0, 0)))
+    cell_too_small = lam < params.reach
+    geom = (wc_img, hc_img, pixel_size, x0, y0)
+    return ViewTables(vdat=vdat, vok=vok, n_img_cells=n_img_cells), bin_dropped, cell_too_small, geom
 
 
-def _occupancy_block(px, py, t_e, tables: PairTables, lam, n_keys, cap, dt, rho):
-    """Retarded occupancy for one block of pixels (scalar coords).
-    Returns (occupied (B,), best_pid (B,))."""
-    from . import grid as grid_ops
+def _cell_pixel_coords(width, height, cam, params: RenderParams):
+    """Pixel world coords grouped by view cell: two (n_cells_padded, k*k)
+    arrays, built by index arithmetic (no gathers)."""
+    k = params.cell_px
+    wc_img, hc_img, pixel_size, x0, y0 = _view_grid(width, height, cam, k)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc_img * wc_img, k * k), 0)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (hc_img * wc_img, k * k), 1)
+    cell_row = ci // wc_img
+    cell_col = ci % wc_img
+    sub_row = pj // k
+    sub_col = pj % k
+    gx = cell_col * k + sub_col  # global pixel x (may exceed width-1: pad)
+    gy = cell_row * k + sub_row
+    px = x0 + gx.astype(jnp.float32) * pixel_size
+    py = y0 + gy.astype(jnp.float32) * pixel_size
+    cb = params.cells_per_block
+    n_img_cells = hc_img * wc_img
+    n_blocks = -(-n_img_cells // cb)
+    pad = n_blocks * cb - n_img_cells
+    px = jnp.pad(px, ((0, pad), (0, 0)), constant_values=1.0e9)
+    py = jnp.pad(py, ((0, pad), (0, 0)), constant_values=1.0e9)
+    return px, py
 
-    cellx = jnp.floor(px / lam).astype(jnp.int32)
-    celly = jnp.floor(py / lam).astype(jnp.int32)
-    key = grid_ops.hash_cell_xy(cellx, celly, n_keys - 1)
-    s = tables.starts[key]
-    c = jnp.minimum(tables.counts[key], cap)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    slot = jnp.clip(s[:, None] + j[None, :], 0, tables.sval.shape[0] - 1)
-    pid = tables.sval[slot]  # (B, cap)
-    ok = (j[None, :] < c[:, None]) & tables.pair_valid[pid]
+
+def _occupancy_cells(px, py, t_e, vdat, vok, dt, rho):
+    """Dense per-cell occupancy: pixels (C, k2) vs candidates (C, cap, 8).
+    Returns (occupied (C, k2), best (C, k2) slot index into cap)."""
     inside, dist2 = _occupancy_xy(
-        px[:, None], py[:, None],
-        t_e[:, None],
-        tables.pax[pid], tables.pay[pid],
-        tables.pbx[pid], tables.pby[pid],
-        tables.pta[pid], dt, rho,
-    )
-    inside = inside & ok
+        px[:, :, None], py[:, :, None], t_e[:, :, None],
+        vdat[:, None, :, _F_AX], vdat[:, None, :, _F_AY],
+        vdat[:, None, :, _F_BX], vdat[:, None, :, _F_BY],
+        vdat[:, None, :, _F_TA], dt, rho,
+    )  # (C, k2, cap)
+    inside = inside & vok[:, None, :]
     dist2 = jnp.where(inside, dist2, _BIG)
-    best = jnp.argmin(dist2, axis=1)
-    occupied = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
-    best_pid = jnp.take_along_axis(pid, best[:, None], axis=1)[:, 0]
-    return occupied, best_pid
+    best = jnp.argmin(dist2, axis=2)
+    occupied = jnp.take_along_axis(inside, best[:, :, None], axis=2)[:, :, 0]
+    return occupied, best
 
 
-def _compose_block(
-    px, py, r, occupied, best_pid, s_first_px, tables: PairTables, objects,
-    cam, params: RenderParams,
+def _field_at(vdat, best, field):
+    """Per-pixel candidate field via lane-axis take_along_axis (fast path)."""
+    f = vdat[:, :, field]  # (C, cap)
+    return jnp.take_along_axis(
+        jnp.broadcast_to(f[:, None, :], best.shape + (f.shape[1],)),
+        best[:, :, None], axis=2,
+    )[:, :, 0]
+
+
+def _compose_cells(
+    px, py, r, occupied, best, s_first_px, vdat, objects, cam,
+    params: RenderParams,
 ):
-    """Shading/composition for one pixel block; returns 3 channel arrays."""
-    obj = tables.pobj[best_pid]
+    """Shading/composition for one cell block; returns (C, 3, k2)."""
+    obj = _field_at(vdat, best, _F_OBJ).astype(jnp.int32)
+    vx = _field_at(vdat, best, _F_VX)
+    vy = _field_at(vdat, best, _F_VY)
     cr = objects.base_color[:, 0][obj]
     cg = objects.base_color[:, 1][obj]
-    cb = objects.base_color[:, 2][obj]
+    cb_ = objects.base_color[:, 2][obj]
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
     nx = (cam.pos[0] - px) * inv_r
     ny = (cam.pos[1] - py) * inv_r
-    d = doppler_factor_xy(
-        tables.pvx[best_pid], tables.pvy[best_pid], nx, ny
-    ) * camera_doppler_factor_xy(cam.vel[0], cam.vel[1], nx, ny)
-    sr, sg, sb = shade_channels(cr, cg, cb, d, params)
+    d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+        cam.vel[0], cam.vel[1], nx, ny
+    )
+    sr, sg, sb = shade_channels(cr, cg, cb_, d, params)
 
     if params.opaque and params.retarded:
         blocked = s_first_px < (r - 2.0 * params.rho)
@@ -415,26 +501,18 @@ def _compose_block(
         def compose(shaded):
             return jnp.where(occupied, shaded, 1.0)
 
-    return compose(sr), compose(sg), compose(sb)
+    return jnp.stack([compose(sr), compose(sg), compose(sb)], axis=1)
 
 
-def _pad_pixels(width, height, cam, block):
-    """Flattened, padded scalar pixel coords + block count."""
-    pc = pixel_centers(width, height, cam)
-    px = pc[..., 0].reshape(-1)
-    py = pc[..., 1].reshape(-1)
-    n_px = px.shape[0]
-    n_blocks = -(-n_px // block)
-    pad = n_blocks * block - n_px
-    px = jnp.pad(px, (0, pad), constant_values=1.0e9)
-    py = jnp.pad(py, (0, pad), constant_values=1.0e9)
-    return px.reshape(n_blocks, block), py.reshape(n_blocks, block), n_px
-
-
-def _finalize_image(crgb, n_px, width, height, planar: bool):
-    """(n_blocks, 3, B) channel planes -> image."""
-    planes = crgb.transpose(1, 0, 2).reshape(3, -1)[:, :n_px]
-    img = planes.reshape(3, height, width)
+def _assemble_image(crgb, width, height, params: RenderParams, planar: bool,
+                    wc_img: int, hc_img: int):
+    """(n_blocks, C, 3, k2) cell colors -> (3, H, W) or (H, W, 3)."""
+    k = params.cell_px
+    n_img_cells = wc_img * hc_img
+    flat = crgb.reshape(-1, 3, k * k)[:n_img_cells]
+    img = flat.reshape(hc_img, wc_img, 3, k, k)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, hc_img * k, wc_img * k)
+    img = img[:, :height, :width]
     return img if planar else img.transpose(1, 2, 0)
 
 
@@ -521,6 +599,84 @@ def render_retarded_brute(
 # ---------------------------------------------------------------------------
 
 
+def _candidate_mask(buf, cam, t_now, width, height, params: RenderParams):
+    """(T, N) cone-crossing mask, restricted to the hull of (view rect,
+    camera) so off-screen worldlines don't consume pair capacity.  Occluders
+    anywhere along a cam->pixel segment lie inside that hull, so the retina
+    stays exact."""
+    dt, rho = params.dt, params.rho
+    t_cap = buf.capacity
+    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
+    cxm, cym = cam.pos[0], cam.pos[1]
+    if not params.retarded:
+        newest = jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
+        ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
+        cand = seg_valid[:, None] & newest[:, None] & (ra < 1.0e8)
+    else:
+        ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
+        rb = jnp.sqrt((qbx - cxm) ** 2 + (qby - cym) ** 2)
+        s_hi = t_now - ta
+        s_lo = s_hi - dt
+        cand = (
+            seg_valid[:, None]
+            & (s_hi[:, None] > 0)
+            & (jnp.maximum(ra, rb) >= s_lo[:, None] - rho)
+            & (jnp.minimum(ra, rb) <= s_hi[:, None] + rho)
+            & (ra < 1.0e8)
+        )
+    # view-hull culling
+    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
+    margin = 4.0 * (rho + dt)
+    vx0 = jnp.minimum(x0, cxm) - margin
+    vx1 = jnp.maximum(x0 + width * pixel_size, cxm) + margin
+    vy0 = jnp.minimum(y0, cym) - margin
+    vy1 = jnp.maximum(y0 + height * pixel_size, cym) + margin
+    inside = (
+        (jnp.maximum(qax, qbx) >= vx0)
+        & (jnp.minimum(qax, qbx) <= vx1)
+        & (jnp.maximum(qay, qby) >= vy0)
+        & (jnp.minimum(qay, qby) <= vy1)
+    )
+    return cand & inside
+
+
+def _retina(pairs: PairData, cam, t_now, params: RenderParams):
+    """First hit per angle over ALL pairs (dense chunked broadcast);
+    returns s_first (num_rays,) packed also as (num_rays, 8) rows for
+    row-gather lookups."""
+    dt, rho = params.dt, params.rho
+    pcap = params.pair_capacity
+    n_rays = params.num_rays
+    theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
+    dhx = jnp.cos(theta)
+    dhy = jnp.sin(theta)
+    chunk = min(params.ray_chunk, pcap)
+    n_chunks = -(-pcap // chunk)
+    pad = n_chunks * chunk - pcap
+    pd = pairs.pdata
+
+    def col(i):
+        return jnp.pad(pd[:, i], (0, pad)).reshape(n_chunks, chunk)
+
+    cok = jnp.pad(pairs.pair_valid, (0, pad)).reshape(n_chunks, chunk)
+
+    def ray_chunk_step(s_min, args):
+        ax, ay, bx, by, t_, ok = args
+        hit, s_hit = _ray_hit_xy(
+            cam.pos[0], cam.pos[1], dhx[:, None], dhy[:, None],
+            ax[None], ay[None], bx[None], by[None], t_[None],
+            t_now, dt, rho,
+        )
+        s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
+        return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
+
+    s_first, _ = jax.lax.scan(
+        ray_chunk_step, jnp.full((n_rays,), _BIG),
+        (col(_F_AX), col(_F_AY), col(_F_BX), col(_F_BY), col(_F_TA), cok),
+    )
+    return s_first
+
+
 def _render_retarded_impl(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
@@ -532,96 +688,66 @@ def _render_retarded_impl(
     planar: bool,
 ):
     dt, rho = params.dt, params.rho
-    lam = params.cell_size
-    t_cap = buf.capacity
     t_now = buf.times[buf.cursor]
 
-    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
+    cand = _candidate_mask(buf, cam, t_now, width, height, params)
+    pairs = _compact_pairs(buf, obj_index, cand, params)
+    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
+        pairs, cam, width, height, params
+    )
+    wc_img, hc_img, _ps, _x0, _y0 = geom
 
-    # --- 1. candidate mask over (T, N) ---
-    cxm, cym = cam.pos[0], cam.pos[1]
-    ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
-    rb = jnp.sqrt((qbx - cxm) ** 2 + (qby - cym) ** 2)
-    s_hi = t_now - ta  # (T,)
-    s_lo = s_hi - dt
-    if params.retarded:
-        cand = (
-            seg_valid[:, None]
-            & (s_hi[:, None] > 0)
-            & (jnp.maximum(ra, rb) >= s_lo[:, None] - rho)
-            & (jnp.minimum(ra, rb) <= s_hi[:, None] + rho)
-            & (ra < 1.0e8)
-        )
-    else:
-        # instantaneous view: only the newest segment (age 1, tau = 1 at
-        # t_now) matters — "measured reality", the filled upgrade of the
-        # reference's debug point renderer (points_norel.glsl).
-        newest = jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
-        cand = seg_valid[:, None] & newest[:, None] & (ra < 1.0e8)
-
-    # --- 2./3. compact pairs + spatial hash ---
-    tables, n_keys, diag = _build_pair_tables(buf, obj_index, cand, params)
-
-    # --- 4. 1D retina: exact first hit per angle, dense over all pairs ---
     use_rays = params.opaque and params.retarded
     n_rays = params.num_rays
-    pcap = params.pair_capacity
-    theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
-    dhx = jnp.cos(theta)
-    dhy = jnp.sin(theta)
     if use_rays:
-        chunk = min(params.ray_chunk, pcap)
-        n_chunks = -(-pcap // chunk)
-        pad = n_chunks * chunk - pcap
-        padv = lambda x: jnp.pad(x, (0, pad)).reshape(n_chunks, chunk)
-        cax, cay = padv(tables.pax), padv(tables.pay)
-        cbx, cby = padv(tables.pbx), padv(tables.pby)
-        cta = padv(tables.pta)
-        cok = jnp.pad(tables.pair_valid, (0, pad)).reshape(n_chunks, chunk)
-
-        def ray_chunk_step(s_min, args):
-            ax, ay, bx, by, t_, ok = args
-            hit, s_hit = _ray_hit_xy(
-                cxm, cym, dhx[:, None], dhy[:, None],
-                ax[None], ay[None], bx[None], by[None], t_[None],
-                t_now, dt, rho,
-            )
-            s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
-            return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
-
-        s_first, _ = jax.lax.scan(
-            ray_chunk_step, jnp.full((n_rays,), _BIG),
-            (cax, cay, cbx, cby, cta, cok),
-        )
+        s_first = _retina(pairs, cam, t_now, params)
     else:
         s_first = jnp.full((n_rays,), _BIG)
+    s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
 
-    # --- 5. per-pixel retarded occupancy + shading, chunked pixel blocks ---
-    pxs, pys, n_px = _pad_pixels(width, height, cam, params.pixel_block)
-    cap = params.bin_capacity
+    pxs, pys = _cell_pixel_coords(width, height, cam, params)
+    cb = params.cells_per_block
+    n_blocks = pxs.shape[0] // cb
+    cxm, cym = cam.pos[0], cam.pos[1]
 
     def block_fn(args):
-        px, py = args
+        vdat, vok, px, py = args
         relx = px - cxm
         rely = py - cym
         r = jnp.sqrt(relx * relx + rely * rely)
         t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
-        occupied, best_pid = _occupancy_block(
-            px, py, t_e, tables, lam, n_keys, cap, dt, rho
+        occupied, best = _occupancy_cells(px, py, t_e, vdat, vok, dt, rho)
+        if use_rays:
+            phi_p = jnp.arctan2(rely, relx)
+            ray_of_pix = jnp.clip(
+                jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+                0, n_rays - 1,
+            )
+            s_first_px = s_first_rows[ray_of_pix][..., 0]
+        else:
+            s_first_px = jnp.full_like(r, _BIG)
+        return _compose_cells(
+            px, py, r, occupied, best, s_first_px, vdat, objects, cam, params
         )
-        phi_p = jnp.arctan2(rely, relx)
-        ray_of_pix = jnp.clip(
-            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
-            0, n_rays - 1,
-        )
-        sr, sg, sb = _compose_block(
-            px, py, r, occupied, best_pid, s_first[ray_of_pix], tables,
-            objects, cam, params,
-        )
-        return jnp.stack([sr, sg, sb], axis=0)  # (3, B)
 
-    crgb = jax.lax.map(block_fn, (pxs, pys))  # (n_blocks, 3, B)
-    img = _finalize_image(crgb, n_px, width, height, planar)
+    crgb = jax.lax.map(
+        block_fn,
+        (
+            tables.vdat.reshape(n_blocks, cb, *tables.vdat.shape[1:]),
+            tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
+            pxs.reshape(n_blocks, cb, -1),
+            pys.reshape(n_blocks, cb, -1),
+        ),
+    )  # (n_blocks, cb, 3, k2)
+    img = _assemble_image(
+        crgb, width, height, params, planar, wc_img, hc_img
+    )
+    diag = RenderDiag(
+        pairs_used=jnp.minimum(pairs.n_pairs, params.pair_capacity),
+        pairs_dropped=jnp.maximum(pairs.n_pairs - params.pair_capacity, 0),
+        bin_dropped=bin_dropped,
+        cell_too_small=cell_too_small,
+    )
     return img, diag
 
 

@@ -158,26 +158,73 @@ def physics_step(
     particles: Particles,
     params: PhysicsParams,
     rest_lengths: jax.Array,
-    table_size: int,
+    grid_dim: int,
     cell_capacity: int,
     integrator: str = "rk4",
 ) -> tuple[Particles, StepAux]:
-    """Full per-frame physics: grid rebuild + integrate.
+    """Full per-frame physics: cell-table rebuild + integrate.
 
     The analog of `submit_per_frame_compute` (reference:
-    src/twoplusone/softbody/mod.rs:557-596): the grid is built once from the
-    step's starting positions and shared by all force evaluations.
+    src/twoplusone/softbody/mod.rs:557-596): the binning is built once from
+    the step's starting positions and shared by all five force evaluations
+    (only the position planes are re-scattered per stage).
     """
-    g = grid_ops.build_grid(particles.pos, particles.active, params.grid_resolution, table_size)
-    cand_idx, cand_valid = grid_ops.collision_candidates(
-        g, particles.pos, params.grid_resolution, cell_capacity
+    h = params.h
+    pos0, vel0 = particles.pos, particles.vel
+    nbr, m = particles.neighbors, particles.rest_mass
+
+    table = grid_ops.build_cell_table(
+        pos0, particles.active, params.grid_resolution, grid_dim, cell_capacity
     )
-    overflow = grid_ops.grid_overflow(g, cell_capacity)
-    if integrator == "rk4":
-        new, n_broken = rk4_step(particles, params, rest_lengths, cand_idx, cand_valid)
-    elif integrator == "euler":
-        new = euler_step(particles, params, rest_lengths, cand_idx, cand_valid)
-        n_broken = jnp.int32(0)
-    else:
+    ncell = grid_ops.neighbor_cells(table, grid_dim)  # (N, 9)
+    idx_nbr = table.idx_rows[ncell]  # (N, 9, cap) — fixed per step
+
+    def F(pos):
+        return forces_ops.total_forces_cells(
+            pos, nbr, table, ncell, idx_nbr, rest_lengths, params
+        )
+
+    if integrator == "euler":
+        f = F(pos0)
+        acc = relativity.r_acc(f, vel0, m)
+        act = particles.active[:, None]
+        new = Particles(
+            pos=jnp.where(act, pos0 + vel0 * h, pos0),
+            vel=jnp.where(act, vel0 + acc * h, vel0),
+            rest_mass=m,
+            neighbors=nbr,
+            object_index=particles.object_index,
+            particle_id=particles.particle_id,
+            active=particles.active,
+        )
+        return new, StepAux(grid_overflow=table.overflow, bonds_broken=jnp.int32(0))
+    if integrator != "rk4":
         raise ValueError(f"unknown integrator: {integrator}")
-    return new, StepAux(grid_overflow=overflow, bonds_broken=n_broken)
+
+    # RK4STAGE_0..4 (softbodyrk4.glsl:168-255) — see rk4_step for the scheme
+    f0 = F(pos0)
+    p1, _ = _advance(pos0, vel0, f0, m, h / 2.0, params)
+    f1 = F(p1)
+    p2, _ = _advance(pos0, vel0, f1, m, h / 2.0, params)
+    f2 = F(p2)
+    p3, _ = _advance(pos0, vel0, f2, m, h, params)
+    f3 = F(p3)
+    facc = f0 + 2.0 * f1 + 2.0 * f2 + f3
+    acc = relativity.r_acc(facc, vel0, m)
+    vel = vel0 + acc * (h / 6.0)
+    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    vel = jnp.where(speed >= 1.0, vel / jnp.maximum(speed, 1e-20) * params.max_speed, vel)
+    pos = pos0 + vel * h
+    new_neighbors, n_broken = break_bonds(pos0, nbr, params.bond_break_threshold)
+
+    act = particles.active[:, None]
+    new = Particles(
+        pos=jnp.where(act, pos, pos0),
+        vel=jnp.where(act, vel, vel0),
+        rest_mass=m,
+        neighbors=new_neighbors,
+        object_index=particles.object_index,
+        particle_id=particles.particle_id,
+        active=particles.active,
+    )
+    return new, StepAux(grid_overflow=table.overflow, bonds_broken=n_broken)

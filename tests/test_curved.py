@@ -14,6 +14,12 @@ H = 0.005
 PARAMS = raytrace.RenderParams(dt=H, pair_capacity=2048, num_rays=128, opaque=False)
 
 
+def fitted(params, w, h, zoom):
+    return dataclasses.replace(
+        params, cell_px=raytrace.auto_cell_px(params, w, h, zoom)
+    )
+
+
 def _static_blob_buffer(offset, n_ticks=96, radius=2):
     body = scene.disc_softbody(radius, 0, offset, (0.0, 0.0))
     sb = scene.SceneBuilder()
@@ -52,14 +58,15 @@ def test_zero_deficit_matches_flat_renderer():
     buf, particles, objects = _static_blob_buffer((0.18, 0.02))
     cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
     defect = curved.ConicalDefect.create(center=(-5.0, -5.0), deficit=0.0)
+    p64 = fitted(PARAMS, 64, 64, 0.7)
     img_c = np.asarray(
         curved.render_retarded_conical(
-            buf, particles.object_index, objects, cam, defect, 64, 64, PARAMS
+            buf, particles.object_index, objects, cam, defect, 64, 64, p64
         )
     )
     img_f = np.asarray(
         raytrace.render_retarded(
-            buf, particles.object_index, objects, cam, 64, 64, PARAMS
+            buf, particles.object_index, objects, cam, 64, 64, p64
         )
     )
     mismatch = np.mean(np.any(np.abs(img_c - img_f) > 1e-3, axis=-1))
@@ -83,7 +90,9 @@ def test_double_image_around_defect():
             buf, dataclasses.replace(particles, pos=p0 + particles.vel * t), time=t
         )
     cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
-    params = dataclasses.replace(PARAMS, pair_capacity=4096)
+    params = fitted(
+        dataclasses.replace(PARAMS, pair_capacity=4096), 128, 128, 1.4
+    )
     flat = np.asarray(
         raytrace.render_retarded(
             buf, particles.object_index, objects, cam, 128, 128, params

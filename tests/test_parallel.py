@@ -25,6 +25,9 @@ def _setup(capacity=256, history=32):
     buf = wl.create(history, capacity)
     buf = wl.push_frame(buf, particles, 0.0)
     params = raytrace.RenderParams(pair_capacity=1024, num_rays=128)
+    params = dataclasses.replace(
+        params, cell_px=raytrace.auto_cell_px(params, 48, 48, 0.5)
+    )
     return particles, objects, model, buf, params
 
 

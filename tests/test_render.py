@@ -24,6 +24,13 @@ SMALL = raytrace.RenderParams(
 )
 
 
+def fitted(params, w, h, zoom):
+    """Params with the view-cell size matched to this view (as Engine does)."""
+    return dataclasses.replace(
+        params, cell_px=raytrace.auto_cell_px(params, w, h, zoom)
+    )
+
+
 def _drifting_blob_buffer(radius_px, offset, vel, n_ticks, capacity=256, extra=None):
     """Synthesize a history of a rigidly drifting blob (no physics needed)."""
     body = scene.disc_softbody(radius_px, 0, offset, vel)
@@ -162,7 +169,7 @@ def test_fast_matches_oracle_xray():
         raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 72, 72, params)
     )
     b, diag = raytrace.render_retarded_with_diag(
-        buf, particles.object_index, objects, cam, 72, 72, params
+        buf, particles.object_index, objects, cam, 72, 72, fitted(params, 72, 72, 0.7)
     )
     b = np.asarray(b)
     assert int(diag.pairs_dropped) == 0
@@ -181,7 +188,9 @@ def test_fast_matches_oracle_opaque():
         raytrace.render_retarded_brute(buf, particles.object_index, objects, cam, 72, 72, SMALL)
     )
     b = np.asarray(
-        raytrace.render_retarded(buf, particles.object_index, objects, cam, 72, 72, SMALL)
+        raytrace.render_retarded(
+            buf, particles.object_index, objects, cam, 72, 72, fitted(SMALL, 72, 72, 0.7)
+        )
     )
     # retina quantization affects shadow edges only -> small mismatch budget
     mismatch = np.mean(np.any(np.abs(a - b) > 1e-3, axis=-1))
