@@ -62,14 +62,21 @@ def main(argv=None) -> int:
         eng.load_checkpoint(args.load)
 
     on_frame = None
+    sink = None
     if args.out:
-        os.makedirs(args.out, exist_ok=True)
+        from .utils.framesink import FrameSink
+
+        sink = FrameSink(args.out, cfg.width, cfg.height)
 
         def on_frame(i, img):
             if i % args.every == 0:
-                save_png(os.path.join(args.out, f"frame_{i:05d}.png"), img)
+                import numpy as np
+
+                sink.submit(i, np.asarray(img))
 
     summary = eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
+    if sink is not None:
+        sink.close()
     if args.save:
         eng.save_checkpoint(args.save)
     if args.stats or not args.out:

@@ -55,10 +55,12 @@ def config_single_blob() -> EngineConfig:
     """BASELINE config 1: single softbody blob, flat 2+1 Minkowski, static
     camera, 256x256 render (testimg3-scale: 3 965 particles)."""
     return EngineConfig(
-        scene=SceneSpec(bodies=(_blob(3965, (0.35, 0.35), (0.1, 0.1), BLUE),)),
+        # blob center ~(0.32, 0.42) radius ~0.12; camera outside at (0.65, 0.5)
+        scene=SceneSpec(bodies=(_blob(3965, (0.2, 0.3), (0.1, 0.1), BLUE),)),
         width=256,
         height=256,
         history=384,
+        cam_pos=(0.65, 0.5),
     )
 
 
