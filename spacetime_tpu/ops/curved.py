@@ -150,7 +150,7 @@ def render_retarded_conical(
         & (jnp.abs(qax) < 1.0e8)
     )
 
-    pairs = _compact_pairs(buf, obj_index, cand, params)
+    pairs = _compact_pairs(buf, obj_index, objects, cand, params)
     tables, _bdrop, _small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
@@ -165,16 +165,16 @@ def render_retarded_conical(
     def block_fn(args):
         vdat, vok, px, py = args
         lp1, lp2, _v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
-        occ1, best1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
-        occ2, best2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
+        occ1, win1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
+        occ2, win2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
         # shorter route wins where both hit (younger, brighter image)
         use1 = occ1 | ~occ2
         occupied = occ1 | occ2
-        best = jnp.where(use1, best1, best2)
+        winner = jnp.where(use1[:, :, None], win1, win2)
         r_eff = jnp.where(use1, lp1, lp2)
         return _compose_cells(
-            px, py, r_eff, occupied, best, jnp.full_like(r_eff, _BIG),
-            vdat, objects, cam, xray,
+            px, py, r_eff, occupied, winner, jnp.full_like(r_eff, _BIG),
+            vdat, cam, xray,
         )
 
     crgb = jax.lax.map(

@@ -273,12 +273,12 @@ def _occupancy_xy(px, py, t_e, ax, ay, bx, by, ta, dt, rho):
 class ViewTables(NamedTuple):
     """Per-frame candidate data densified onto the image's view-cell grid."""
 
-    vdat: jax.Array  # (n_img_cells_padded, cap, 8) f32 packed pair rows
+    vdat: jax.Array  # (n_img_cells_padded, cap, 10) f32 packed pair rows
     vok: jax.Array  # (n_img_cells_padded, cap) bool
     n_img_cells: int  # before padding (static)
 
 
-_F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_OBJ = range(8)
+_F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
 def _compact(mask_flat: jax.Array, capacity: int):
@@ -293,14 +293,18 @@ def _compact(mask_flat: jax.Array, capacity: int):
 
 
 class PairData(NamedTuple):
-    """Compacted cone-crossing segments, packed for row gathers."""
+    """Compacted cone-crossing segments, packed for row gathers.
 
-    pdata: jax.Array  # (pcap, 8) f32 — see _F_* field order
+    Shading inputs (velocity, albedo) are resolved PER PAIR here — ~1e5
+    scalar gathers once per frame — so the per-pixel pass selects them by
+    masked reduction with zero gathers."""
+
+    pdata: jax.Array  # (pcap, 10) f32 — see _F_* field order
     pair_valid: jax.Array  # (pcap,)
     n_pairs: jax.Array  # () i32 (pre-cap count)
 
 
-def _compact_pairs(buf, obj_index, cand, params: RenderParams) -> PairData:
+def _compact_pairs(buf, obj_index, objects, cand, params: RenderParams) -> PairData:
     t_cap, n = cand.shape
     pcap = params.pair_capacity
     pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
@@ -313,13 +317,16 @@ def _compact_pairs(buf, obj_index, cand, params: RenderParams) -> PairData:
     pay = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid], far)
     pbx = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid_next], far)
     pby = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid_next], far)
+    pobj = obj_index[pidx]
     pdata = jnp.stack(
         [
             pax, pay, pbx, pby,
             buf.times[slot],
             buf.vel_x.reshape(-1)[sid],
             buf.vel_y.reshape(-1)[sid],
-            obj_index[pidx].astype(jnp.float32),
+            objects.base_color[:, 0][pobj],
+            objects.base_color[:, 1][pobj],
+            objects.base_color[:, 2][pobj],
         ],
         axis=-1,
     )
@@ -403,10 +410,10 @@ def _build_view_tables(
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
     vok = vslot >= 0
-    vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, 8) row gather
+    vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, 10) row gather
 
     n_img_cells = wc_img * hc_img
-    vdat = vdat.reshape(n_img_cells, cap, 8)
+    vdat = vdat.reshape(n_img_cells, cap, 10)
     vok = vok.reshape(n_img_cells, cap)
     cb = params.cells_per_block
     n_blocks = -(-n_img_cells // cb)
@@ -444,7 +451,12 @@ def _cell_pixel_coords(width, height, cam, params: RenderParams):
 
 def _occupancy_cells(px, py, t_e, vdat, vok, dt, rho):
     """Dense per-cell occupancy: pixels (C, k2) vs candidates (C, cap, 8).
-    Returns (occupied (C, k2), best (C, k2) slot index into cap)."""
+
+    Returns (occupied (C, k2), winner (C, k2, cap) one-hot mask).  The winner
+    is expressed as a mask rather than an argmin index because on TPU
+    take_along_axis lowers to a serialized scalar gather (~0.36 ms per 41k
+    elements, measured); selecting fields by masked REDUCTION stays on the
+    VPU."""
     inside, dist2 = _occupancy_xy(
         px[:, :, None], py[:, :, None], t_e[:, :, None],
         vdat[:, None, :, _F_AX], vdat[:, None, :, _F_AY],
@@ -453,31 +465,31 @@ def _occupancy_cells(px, py, t_e, vdat, vok, dt, rho):
     )  # (C, k2, cap)
     inside = inside & vok[:, None, :]
     dist2 = jnp.where(inside, dist2, _BIG)
-    best = jnp.argmin(dist2, axis=2)
-    occupied = jnp.take_along_axis(inside, best[:, :, None], axis=2)[:, :, 0]
-    return occupied, best
+    min_d = jnp.min(dist2, axis=2, keepdims=True)
+    occupied = min_d[:, :, 0] < _BIG
+    tied = dist2 == min_d
+    # first-of-ties so exactly one candidate wins (cumsum along cap is VPU)
+    winner = tied & (jnp.cumsum(tied.astype(jnp.int32), axis=2) == 1)
+    return occupied, winner
 
 
-def _field_at(vdat, best, field):
-    """Per-pixel candidate field via lane-axis take_along_axis (fast path)."""
-    f = vdat[:, :, field]  # (C, cap)
-    return jnp.take_along_axis(
-        jnp.broadcast_to(f[:, None, :], best.shape + (f.shape[1],)),
-        best[:, :, None], axis=2,
-    )[:, :, 0]
+def _field_at(vdat, winner, field):
+    """Per-pixel winning candidate's field via masked reduction (no gathers)."""
+    f = vdat[:, None, :, field]  # (C, 1, cap)
+    return jnp.sum(jnp.where(winner, f, 0.0), axis=2)
 
 
 def _compose_cells(
-    px, py, r, occupied, best, s_first_px, vdat, objects, cam,
+    px, py, r, occupied, winner, s_first_px, vdat, cam,
     params: RenderParams,
 ):
-    """Shading/composition for one cell block; returns (C, 3, k2)."""
-    obj = _field_at(vdat, best, _F_OBJ).astype(jnp.int32)
-    vx = _field_at(vdat, best, _F_VX)
-    vy = _field_at(vdat, best, _F_VY)
-    cr = objects.base_color[:, 0][obj]
-    cg = objects.base_color[:, 1][obj]
-    cb_ = objects.base_color[:, 2][obj]
+    """Shading/composition for one cell block; returns (C, 3, k2).
+    All candidate fields selected by masked reduction — zero gathers."""
+    vx = _field_at(vdat, winner, _F_VX)
+    vy = _field_at(vdat, winner, _F_VY)
+    cr = _field_at(vdat, winner, _F_CR)
+    cg = _field_at(vdat, winner, _F_CG)
+    cb_ = _field_at(vdat, winner, _F_CB)
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
     nx = (cam.pos[0] - px) * inv_r
     ny = (cam.pos[1] - py) * inv_r
@@ -691,7 +703,7 @@ def _render_retarded_impl(
     t_now = buf.times[buf.cursor]
 
     cand = _candidate_mask(buf, cam, t_now, width, height, params)
-    pairs = _compact_pairs(buf, obj_index, cand, params)
+    pairs = _compact_pairs(buf, obj_index, objects, cand, params)
     tables, bin_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
@@ -727,7 +739,7 @@ def _render_retarded_impl(
         else:
             s_first_px = jnp.full_like(r, _BIG)
         return _compose_cells(
-            px, py, r, occupied, best, s_first_px, vdat, objects, cam, params
+            px, py, r, occupied, best, s_first_px, vdat, cam, params
         )
 
     crgb = jax.lax.map(
