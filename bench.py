@@ -46,9 +46,7 @@ def build():
     buf = wl.create(history, particles.capacity)
     buf = wl.push_frame(buf, particles, 0.0)
     cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
-    params = raytrace.RenderParams(
-        dt=model.params.h, pair_capacity=65536, num_rays=4096
-    )
+    params = raytrace.RenderParams(dt=model.params.h, num_rays=4096)
     params = dataclasses.replace(
         params, cell_px=raytrace.auto_cell_px(params, width, height, 1.2)
     )

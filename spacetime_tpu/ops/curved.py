@@ -42,16 +42,15 @@ import jax.numpy as jnp
 from ..camera import Camera
 from ..state import Objects
 from .raytrace import (
+    PairData,
     RenderParams,
     _BIG,
     _assemble_image,
+    _band_pairs,
     _build_view_tables,
     _cell_pixel_coords,
-    _compact_pairs,
     _compose_cells,
     _occupancy_cells,
-    _segment_data,
-    _view_grid,
 )
 from .worldline import WorldlineBuffer
 
@@ -120,37 +119,30 @@ def render_retarded_conical(
     route is the geodesic length instead of |p - cam|."""
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
-    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
-
-    # --- candidate mask per ROUTE (union), culled to the view rect ---
     cxm, cym = cam.pos[0], cam.pos[1]
-    l1a, l2a, _ = geodesic_lengths_xy(qax, qay, cxm, cym, defect)  # (T, N)
-    l1b, l2b, _ = geodesic_lengths_xy(qbx, qby, cxm, cym, defect)
-    s_hi = t_now - ta
-    s_lo = s_hi - dt
 
-    def route_mask(la, lb):
-        return (jnp.maximum(la, lb) >= s_lo[:, None] - rho) & (
-            jnp.minimum(la, lb) <= s_hi[:, None] + rho
-        )
+    # One band search per geodesic ROUTE (each route length is monotone in
+    # age because |v| < c), pairs concatenated into one table.
+    def l1_of(qx, qy):
+        return geodesic_lengths_xy(qx, qy, cxm, cym, defect)[0]
 
-    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
-    margin = 4.0 * (rho + dt)
-    inside_view = (
-        (jnp.maximum(qax, qbx) >= x0 - margin)
-        & (jnp.minimum(qax, qbx) <= x0 + width * pixel_size + margin)
-        & (jnp.maximum(qay, qby) >= y0 - margin)
-        & (jnp.minimum(qay, qby) <= y0 + height * pixel_size + margin)
+    def l2_of(qx, qy):
+        return geodesic_lengths_xy(qx, qy, cxm, cym, defect)[1]
+
+    pairs1, _tr1 = _band_pairs(
+        buf, obj_index, objects, cam, t_now, width, height, params,
+        route_lengths=l1_of,
     )
-    cand = (
-        seg_valid[:, None]
-        & (s_hi[:, None] > 0)
-        & (route_mask(l1a, l1b) | route_mask(l2a, l2b))
-        & inside_view
-        & (jnp.abs(qax) < 1.0e8)
+    pairs2, _tr2 = _band_pairs(
+        buf, obj_index, objects, cam, t_now, width, height, params,
+        route_lengths=l2_of,
+    )
+    pairs = PairData(
+        pdata=jnp.concatenate([pairs1.pdata, pairs2.pdata], axis=0),
+        pair_valid=jnp.concatenate([pairs1.pair_valid, pairs2.pair_valid]),
+        n_pairs=pairs1.n_pairs + pairs2.n_pairs,
     )
 
-    pairs = _compact_pairs(buf, obj_index, objects, cand, params)
     tables, _bdrop, _small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )

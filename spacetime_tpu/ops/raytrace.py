@@ -83,9 +83,8 @@ class RenderParams:
 
     dt: float = 0.005  # history tick spacing (= PhysicsParams.h if pushed every step)
     rho: float = 0.0026  # particle render radius; >= half diagonal spacing fills interiors
-    pair_capacity: int = 16384  # max compacted cone-crossing segments
+    band: int = 8  # cone-crossing ticks kept per particle (see _band_pairs)
     bin_capacity: int = 64  # candidates per spatial hash cell
-    table_factor: int = 4  # hash table size = table_factor * pair_capacity
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     ray_chunk: int = 2048  # pairs per scan chunk in the retina march
     cell_px: int = 16  # view-cell edge in pixels; k*pixel_size must be >= reach
@@ -114,8 +113,8 @@ def auto_cell_px(params: RenderParams, width: int, height: int, zoom: float) -> 
 
 
 class RenderDiag(NamedTuple):
-    pairs_used: jax.Array  # compacted cone-crossing segment count
-    pairs_dropped: jax.Array  # pairs beyond pair_capacity
+    pairs_used: jax.Array  # valid cone-crossing segments this frame
+    band_truncated: jax.Array  # particles whose crossing outlasts the band
     bin_dropped: jax.Array  # splat entries beyond bin_capacity
     cell_too_small: jax.Array  # bool: cell_px violates the coverage constraint
 
@@ -208,7 +207,9 @@ def shade_hit(base_color, vel_event, n_hat, cam_vel, params: RenderParams):
 
 
 def _segment_data(buf: WorldlineBuffer, dt: float):
-    """Per-(slot, particle) segment endpoint components in time order.
+    """Per-(slot, particle) segment endpoint components in slot order,
+    materialized as (T, N) — oracle/tests only; the accelerated path uses
+    the band search instead.
 
     Segment owned by slot k runs from (pos[k], times[k]) to
     (pos[(k+1) % T], times[k] + dt); valid iff the next slot holds the
@@ -217,11 +218,9 @@ def _segment_data(buf: WorldlineBuffer, dt: float):
     nxt = (jnp.arange(t_cap) + 1) % t_cap
     ta = buf.times
     valid = jnp.isfinite(ta) & (jnp.abs(buf.times[nxt] - ta - dt) < 0.5 * dt)
-    return (
-        buf.pos_x, buf.pos_y,
-        buf.pos_x[nxt], buf.pos_y[nxt],
-        ta, valid,
-    )
+    qax = buf.pos_x[:, :t_cap].T  # (T, N); first half of the mirror = slots
+    qay = buf.pos_y[:, :t_cap].T
+    return qax, qay, qax[nxt], qay[nxt], ta, valid
 
 
 def _ray_hit_xy(cx, cy, dhx, dhy, ax, ay, bx, by, ta, t_now, dt, rho):
@@ -281,56 +280,149 @@ class ViewTables(NamedTuple):
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
-def _compact(mask_flat: jax.Array, capacity: int):
-    """Indices of True entries, padded with -1 to `capacity` (stream
-    compaction via cumsum + scatter — the TPU version of an append buffer)."""
-    write_pos = jnp.cumsum(mask_flat) - 1
-    out = jnp.full((capacity,), -1, jnp.int32)
-    src = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
-    out = out.at[jnp.where(mask_flat, write_pos, capacity)].set(src, mode="drop")
-    count = jnp.sum(mask_flat.astype(jnp.int32))
-    return out, count
+def _band_pairs(
+    buf: WorldlineBuffer,
+    obj_index,
+    objects,
+    cam,
+    t_now,
+    width: int,
+    height: int,
+    params: RenderParams,
+    route_lengths=None,
+) -> "PairData":
+    """Cone-crossing segments via monotonic band search — no (T, N) mask, no
+    compaction scatter.
 
+    Because |v| < c while the light-cone radius grows at exactly c per tick,
+    f(age) = dist_to_camera(age) - age*dt is strictly decreasing in age, so
+    each particle's worldline crosses the cone in EXACTLY ONE contiguous
+    band of ticks.  A per-particle binary search (log2 T probes, each one
+    flat gather of N elements) finds the band start; a contiguous window
+    gather from the mirrored (N, 2T) planes fetches band+1 ticks; validity
+    is re-checked exactly per segment.  Total cost is O(N log T + N*band),
+    independent of history length T.
 
-class PairData(NamedTuple):
-    """Compacted cone-crossing segments, packed for row gathers.
+    `route_lengths(qx, qy) -> distance` customizes the cone metric (curved
+    space); default is Euclidean distance to the camera.
+    """
+    dt, rho, band = params.dt, params.rho, params.band
+    t_cap = buf.capacity
+    n = buf.num_particles
+    cxm, cym = cam.pos[0], cam.pos[1]
+    if route_lengths is None:
+        route_lengths = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
 
-    Shading inputs (velocity, albedo) are resolved PER PAIR here — ~1e5
-    scalar gathers once per frame — so the per-pixel pass selects them by
-    masked reduction with zero gathers."""
+    flat_x = buf.pos_x.reshape(-1)
+    flat_y = buf.pos_y.reshape(-1)
+    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
+    base_col = buf.cursor + t_cap  # mirrored column of age 0
 
-    pdata: jax.Array  # (pcap, 10) f32 — see _F_* field order
-    pair_valid: jax.Array  # (pcap,)
-    n_pairs: jax.Array  # () i32 (pre-cap count)
+    thresh = rho + dt
 
+    def f_at(a):  # a (N,) i32 age
+        idx = row0 + (base_col - a)
+        r = route_lengths(flat_x[idx], flat_y[idx])
+        return r - a.astype(jnp.float32) * dt
 
-def _compact_pairs(buf, obj_index, objects, cand, params: RenderParams) -> PairData:
-    t_cap, n = cand.shape
-    pcap = params.pair_capacity
-    pair_sid, n_pairs = _compact(cand.reshape(-1), pcap)
-    pair_valid = pair_sid >= 0
-    sid = jnp.maximum(pair_sid, 0)
-    slot, pidx = sid // n, sid % n
+    hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
+    lo = jnp.ones((n,), jnp.int32)
+    hi = jnp.full((n,), 1, jnp.int32) * hi0
+    n_iters = max(1, (t_cap - 1).bit_length())
+    for _ in range(n_iters):
+        mid = (lo + hi) // 2
+        go = f_at(mid) > thresh
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    a0 = lo  # smallest age with f <= thresh (hi0 + 1 if none)
+
+    # contiguous window of band+1 ticks: columns ascend as ages DESCEND
+    start_col = jnp.clip(
+        base_col - (a0 + band - 1), 0, 2 * t_cap - (band + 1)
+    )
+
+    def window(plane):
+        return jax.vmap(
+            lambda row, s_: jax.lax.dynamic_slice(row, (s_,), (band + 1,))
+        )(plane, start_col)
+
+    wx = window(buf.pos_x)  # (N, band+1)
+    wy = window(buf.pos_y)
+    wvx = window(buf.vel_x)
+    wvy = window(buf.vel_y)
+    cols = start_col[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
+    ages = base_col - cols  # (N, band+1); age of each window column
+
+    # segment j: older endpoint = window[:, j] (age a_j), younger = [:, j+1]
+    qax, qay = wx[:, :band], wy[:, :band]
+    qbx, qby = wx[:, 1:], wy[:, 1:]
+    pvx, pvy = wvx[:, :band], wvy[:, :band]
+    age_a = ages[:, :band]  # (N, band)
+    pta = t_now - age_a.astype(jnp.float32) * dt
+
+    # exact annulus validity per segment (+ ring-range + view-hull culling)
+    ra = route_lengths(qax, qay)
+    rb = route_lengths(qbx, qby)
+    s_hi = t_now - pta
+    valid = (
+        (age_a >= 1)
+        & (age_a <= hi0)
+        & (jnp.maximum(ra, rb) >= s_hi - dt - rho)
+        & (jnp.minimum(ra, rb) <= s_hi + rho)
+        & (jnp.abs(qax) < 1.0e8)
+    )
+    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
+    margin = 4.0 * (rho + dt)
+    vx0 = jnp.minimum(x0, cxm) - margin
+    vx1 = jnp.maximum(x0 + width * pixel_size, cxm) + margin
+    vy0 = jnp.minimum(y0, cym) - margin
+    vy1 = jnp.maximum(y0 + height * pixel_size, cym) + margin
+    valid = (
+        valid
+        & (jnp.maximum(qax, qbx) >= vx0)
+        & (jnp.minimum(qax, qbx) <= vx1)
+        & (jnp.maximum(qay, qby) >= vy0)
+        & (jnp.minimum(qay, qby) <= vy1)
+    )
+
     far = 2.0e9
-    sid_next = ((slot + 1) % t_cap) * n + pidx
-    pax = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid], far)
-    pay = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid], far)
-    pbx = jnp.where(pair_valid, buf.pos_x.reshape(-1)[sid_next], far)
-    pby = jnp.where(pair_valid, buf.pos_y.reshape(-1)[sid_next], far)
-    pobj = obj_index[pidx]
+    keep = lambda v: jnp.where(valid, v, far).reshape(-1)
+    pobj = jnp.broadcast_to(obj_index[:, None], (n, band))
+    col = lambda c: jnp.broadcast_to(
+        objects.base_color[:, c][obj_index][:, None], (n, band)
+    ).reshape(-1)
     pdata = jnp.stack(
         [
-            pax, pay, pbx, pby,
-            buf.times[slot],
-            buf.vel_x.reshape(-1)[sid],
-            buf.vel_y.reshape(-1)[sid],
-            objects.base_color[:, 0][pobj],
-            objects.base_color[:, 1][pobj],
-            objects.base_color[:, 2][pobj],
+            keep(qax), keep(qay), keep(qbx), keep(qby),
+            jnp.where(valid, pta, 0.0).reshape(-1),
+            pvx.reshape(-1), pvy.reshape(-1),
+            col(0), col(1), col(2),
         ],
         axis=-1,
     )
-    return PairData(pdata=pdata, pair_valid=pair_valid, n_pairs=n_pairs)
+    # a particle's crossing outlasts the band if the segment one past the
+    # oldest band member would still be annulus-valid
+    f_past = f_at(jnp.minimum(a0 + band, hi0))
+    truncated = jnp.sum(
+        ((f_past <= thresh) & (f_at(jnp.minimum(a0 + band, hi0)) >= -thresh)
+         & (a0 + band <= hi0)).astype(jnp.int32)
+    )
+    return PairData(
+        pdata=pdata,
+        pair_valid=valid.reshape(-1),
+        n_pairs=jnp.sum(valid.astype(jnp.int32)),
+    ), truncated
+
+
+class PairData(NamedTuple):
+    """Cone-crossing segments in the static (N * band) layout.
+
+    Shading inputs (velocity, albedo) are resolved PER PAIR here so the
+    per-pixel pass selects them by masked reduction with zero gathers."""
+
+    pdata: jax.Array  # (N * band, 10) f32 — see _F_* field order
+    pair_valid: jax.Array  # (N * band,)
+    n_pairs: jax.Array  # () i32
 
 
 def _view_grid(width, height, cam, k):
@@ -355,7 +447,7 @@ def _build_view_tables(
     Returns (ViewTables, bin_dropped, cell_too_small, geometry)."""
     k = params.cell_px
     cap = params.bin_capacity
-    pcap = params.pair_capacity
+    pcap = pairs.pdata.shape[0]
     wc_img, hc_img, pixel_size, x0, y0 = _view_grid(width, height, cam, k)
     wc, hc = wc_img + 2, hc_img + 2  # +1 halo cell each side
     n_vcells = wc * hc
@@ -563,8 +655,8 @@ def render_retarded_brute(
     fta = jnp.repeat(ta, n)
     valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
     fobj = jnp.tile(obj_index, t_cap)
-    fvx = buf.vel_x.reshape(-1)
-    fvy = buf.vel_y.reshape(-1)
+    fvx = buf.vel_x[:, :t_cap].T.reshape(-1)
+    fvy = buf.vel_y[:, :t_cap].T.reshape(-1)
 
     t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
     inside, dist2 = _occupancy_xy(
@@ -611,45 +703,36 @@ def render_retarded_brute(
 # ---------------------------------------------------------------------------
 
 
-def _candidate_mask(buf, cam, t_now, width, height, params: RenderParams):
-    """(T, N) cone-crossing mask, restricted to the hull of (view rect,
-    camera) so off-screen worldlines don't consume pair capacity.  Occluders
-    anywhere along a cam->pixel segment lie inside that hull, so the retina
-    stays exact."""
-    dt, rho = params.dt, params.rho
+def _instant_pairs(buf, obj_index, objects, params: RenderParams):
+    """Pairs for the instantaneous view: only the newest segment (age 1 ->
+    age 0), i.e. "measured reality" — the filled upgrade of the reference's
+    debug point renderer (points_norel.glsl)."""
     t_cap = buf.capacity
-    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
-    cxm, cym = cam.pos[0], cam.pos[1]
-    if not params.retarded:
-        newest = jnp.arange(t_cap, dtype=jnp.int32) == (buf.cursor - 1) % t_cap
-        ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
-        cand = seg_valid[:, None] & newest[:, None] & (ra < 1.0e8)
-    else:
-        ra = jnp.sqrt((qax - cxm) ** 2 + (qay - cym) ** 2)
-        rb = jnp.sqrt((qbx - cxm) ** 2 + (qby - cym) ** 2)
-        s_hi = t_now - ta
-        s_lo = s_hi - dt
-        cand = (
-            seg_valid[:, None]
-            & (s_hi[:, None] > 0)
-            & (jnp.maximum(ra, rb) >= s_lo[:, None] - rho)
-            & (jnp.minimum(ra, rb) <= s_hi[:, None] + rho)
-            & (ra < 1.0e8)
-        )
-    # view-hull culling
-    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
-    margin = 4.0 * (rho + dt)
-    vx0 = jnp.minimum(x0, cxm) - margin
-    vx1 = jnp.maximum(x0 + width * pixel_size, cxm) + margin
-    vy0 = jnp.minimum(y0, cym) - margin
-    vy1 = jnp.maximum(y0 + height * pixel_size, cym) + margin
-    inside = (
-        (jnp.maximum(qax, qbx) >= vx0)
-        & (jnp.minimum(qax, qbx) <= vx1)
-        & (jnp.maximum(qay, qby) >= vy0)
-        & (jnp.minimum(qay, qby) <= vy1)
+    n = buf.num_particles
+
+    def col(plane, age):
+        c = buf.cursor + t_cap - age
+        return jax.lax.dynamic_slice(plane, (0, c), (n, 1))[:, 0]
+
+    qax, qay = col(buf.pos_x, 1), col(buf.pos_y, 1)
+    qbx, qby = col(buf.pos_x, 0), col(buf.pos_y, 0)
+    pvx, pvy = col(buf.vel_x, 1), col(buf.vel_y, 1)
+    pta = buf.times[buf.cursor] - params.dt
+    valid = (jnp.abs(qax) < 1.0e8) & (buf.frames_in_use >= 2)
+    far = 2.0e9
+    keep = lambda v: jnp.where(valid, v, far)
+    colr = lambda c: objects.base_color[:, c][obj_index]
+    pdata = jnp.stack(
+        [
+            keep(qax), keep(qay), keep(qbx), keep(qby),
+            jnp.broadcast_to(pta, (n,)),
+            pvx, pvy, colr(0), colr(1), colr(2),
+        ],
+        axis=-1,
     )
-    return cand & inside
+    return PairData(
+        pdata=pdata, pair_valid=valid, n_pairs=jnp.sum(valid.astype(jnp.int32))
+    )
 
 
 def _retina(pairs: PairData, cam, t_now, params: RenderParams):
@@ -657,7 +740,7 @@ def _retina(pairs: PairData, cam, t_now, params: RenderParams):
     returns s_first (num_rays,) packed also as (num_rays, 8) rows for
     row-gather lookups."""
     dt, rho = params.dt, params.rho
-    pcap = params.pair_capacity
+    pcap = pairs.pdata.shape[0]
     n_rays = params.num_rays
     theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
     dhx = jnp.cos(theta)
@@ -702,8 +785,13 @@ def _render_retarded_impl(
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
 
-    cand = _candidate_mask(buf, cam, t_now, width, height, params)
-    pairs = _compact_pairs(buf, obj_index, objects, cand, params)
+    if params.retarded:
+        pairs, band_truncated = _band_pairs(
+            buf, obj_index, objects, cam, t_now, width, height, params
+        )
+    else:
+        pairs = _instant_pairs(buf, obj_index, objects, params)
+        band_truncated = jnp.int32(0)
     tables, bin_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
@@ -755,8 +843,8 @@ def _render_retarded_impl(
         crgb, width, height, params, planar, wc_img, hc_img
     )
     diag = RenderDiag(
-        pairs_used=jnp.minimum(pairs.n_pairs, params.pair_capacity),
-        pairs_dropped=jnp.maximum(pairs.n_pairs - params.pair_capacity, 0),
+        pairs_used=pairs.n_pairs,
+        band_truncated=band_truncated,
         bin_dropped=bin_dropped,
         cell_too_small=cell_too_small,
     )

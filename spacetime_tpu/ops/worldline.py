@@ -18,16 +18,19 @@ author got stuck on (OLD_worldline_updatesoftbodies.glsl:119-123 "god how am
 I supposed to make this work"), and preserves per-particle velocity for
 Doppler shading at the retarded event.
 
-Layout note: components are stored as SEPARATE (T, N) planes, not (T, N, 2).
-TPU tiles the two minor dims as (8 sublanes, 128 lanes); a trailing dim of 2
-would pad to 128 lanes and inflate the buffer (and everything broadcast from
-it) by 64x in HBM — measured, not theoretical: the first 1080p run OOM'd at
-a 68 GB "f32[...,2]{1,0:T(8,128)}" allocation.
+Layout (performance-critical, all measured on v5e):
+  * PARTICLE-major planes ``(N, 2T)``, one per scalar component — no
+    (..., 2) vectors (TPU pads 2-wide trailing dims to 128 lanes, 64x HBM
+    inflation) and time-contiguous per-particle history so the renderer's
+    light-cone band search reads contiguous slices.
+  * The time axis is MIRRORED (slot s also written at s + T), so any
+    backward-window read of up to T ticks is contiguous — no modular
+    wraparound in the hot gather.
+  * Ticks are uniformly spaced `dt` apart (push once per physics step);
+    `times[slot]` records each slot's coordinate time and ring-consistency
+    is validated from it.
 
-The buffer is a fixed-shape pytree updated with one `dynamic_update_slice`
-per step — `add_frame` without the staging copy.  Slot arithmetic is
-modular; `times[slot]` gives each slot's coordinate time, so no roll/reorder
-is ever materialized.
+The per-tick update is one two-column `dynamic_update_slice` per plane.
 """
 
 from __future__ import annotations
@@ -44,28 +47,28 @@ from ..state import Particles
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WorldlineBuffer:
-    pos_x: jax.Array  # (T, N) f32
-    pos_y: jax.Array  # (T, N) f32
-    vel_x: jax.Array  # (T, N) f32
-    vel_y: jax.Array  # (T, N) f32
-    times: jax.Array  # (T,) f32 — coordinate time of each slot (-inf = unused)
-    cursor: jax.Array  # () i32 — slot that holds the newest tick
+    pos_x: jax.Array  # (N, 2T) f32, mirrored time axis
+    pos_y: jax.Array  # (N, 2T)
+    vel_x: jax.Array  # (N, 2T)
+    vel_y: jax.Array  # (N, 2T)
+    times: jax.Array  # (T,) f32 — coordinate time per slot (-inf = unused)
+    cursor: jax.Array  # () i32 — slot holding the newest tick
     frames_in_use: jax.Array  # () i32 — ramp-up counter (object_archive.txt:150)
 
     @property
     def capacity(self) -> int:
-        return self.pos_x.shape[0]
+        return self.times.shape[0]
 
     @property
     def num_particles(self) -> int:
-        return self.pos_x.shape[1]
+        return self.pos_x.shape[0]
 
 
 def create(capacity: int, num_particles: int) -> WorldlineBuffer:
     """Empty history. `capacity` is the `frames_stored` analog
     (object_archive.txt:118); it bounds how far into the past rays can see:
-    max view radius = capacity * h lightseconds."""
-    plane = lambda fill: jnp.full((capacity, num_particles), fill, jnp.float32)
+    max view radius = capacity * dt lightseconds."""
+    plane = lambda fill: jnp.full((num_particles, 2 * capacity), fill, jnp.float32)
     return WorldlineBuffer(
         pos_x=plane(1e9),
         pos_y=plane(1e9),
@@ -77,6 +80,13 @@ def create(capacity: int, num_particles: int) -> WorldlineBuffer:
     )
 
 
+def _set_column(plane, col, values, t_cap):
+    """Write `values` (N,) at slots col and col + T (mirror)."""
+    v = values[:, None]
+    plane = jax.lax.dynamic_update_slice(plane, v, (0, col))
+    return jax.lax.dynamic_update_slice(plane, v, (0, col + t_cap))
+
+
 @jax.jit
 def push_raw(buf: WorldlineBuffer, pos, vel, present, time) -> WorldlineBuffer:
     """Store one tick of (pos (N,2), vel (N,2)) with an explicit presence mask
@@ -85,17 +95,13 @@ def push_raw(buf: WorldlineBuffer, pos, vel, present, time) -> WorldlineBuffer:
     parked far away so the renderer never sees them."""
     t_cap = buf.capacity
     cursor = (buf.cursor + 1) % t_cap
-
-    def upd(plane, vals):
-        return jax.lax.dynamic_update_slice(plane, vals[None], (cursor, 0))
-
     px = jnp.where(present, pos[:, 0], 1e9)
     py = jnp.where(present, pos[:, 1], 1e9)
     return WorldlineBuffer(
-        pos_x=upd(buf.pos_x, px),
-        pos_y=upd(buf.pos_y, py),
-        vel_x=upd(buf.vel_x, vel[:, 0]),
-        vel_y=upd(buf.vel_y, vel[:, 1]),
+        pos_x=_set_column(buf.pos_x, cursor, px, t_cap),
+        pos_y=_set_column(buf.pos_y, cursor, py, t_cap),
+        vel_x=_set_column(buf.vel_x, cursor, vel[:, 0], t_cap),
+        vel_y=_set_column(buf.vel_y, cursor, vel[:, 1], t_cap),
         times=buf.times.at[cursor].set(jnp.float32(time)),
         cursor=cursor,
         frames_in_use=jnp.minimum(buf.frames_in_use + 1, t_cap),
@@ -121,29 +127,38 @@ def prefill_inertial(
     pure background until the camera's past light cone fills with stored
     ticks — physically correct but useless for a cold start."""
     t_cap = buf.capacity
+    n = pos.shape[0]
     # slot k holds time t0 - (t_cap - 1 - k) * dt; cursor = t_cap - 1
     rel_t = (jnp.arange(t_cap, dtype=jnp.float32) - (t_cap - 1)) * dt  # <= 0
+    rel2 = jnp.concatenate([rel_t, rel_t])  # mirrored
 
     def fill(p, v):
-        out = p[None, :] + v[None, :] * rel_t[:, None]
-        return jnp.where(present[None, :], out, 1e9)
+        out = p[:, None] + v[:, None] * rel2[None, :]
+        return jnp.where(present[:, None], out, 1e9)
 
     return WorldlineBuffer(
         pos_x=fill(pos[:, 0], vel[:, 0]),
         pos_y=fill(pos[:, 1], vel[:, 1]),
-        vel_x=jnp.broadcast_to(vel[:, 0][None], (t_cap, pos.shape[0])),
-        vel_y=jnp.broadcast_to(vel[:, 1][None], (t_cap, pos.shape[0])),
+        vel_x=jnp.broadcast_to(vel[:, 0][:, None], (n, 2 * t_cap)),
+        vel_y=jnp.broadcast_to(vel[:, 1][:, None], (n, 2 * t_cap)),
         times=t0 + rel_t,
         cursor=jnp.int32(t_cap - 1),
         frames_in_use=jnp.int32(t_cap),
     )
 
 
-def slot_of_age(buf: WorldlineBuffer, age: jax.Array) -> jax.Array:
+def slot_of_age(buf: WorldlineBuffer, age):
     """Slot index holding the tick `age` steps before the newest (age 0 =
     newest). Valid while age < frames_in_use."""
-    t_cap = buf.capacity
-    return (buf.cursor - age) % t_cap
+    return (buf.cursor - age) % buf.capacity
+
+
+def pos_at_age(buf: WorldlineBuffer, age):
+    """(N, 2) positions at a given age (column dynamic-slice, no gather)."""
+    slot = slot_of_age(buf, age)
+    x = jax.lax.dynamic_slice_in_dim(buf.pos_x, slot, 1, axis=1)[:, 0]
+    y = jax.lax.dynamic_slice_in_dim(buf.pos_y, slot, 1, axis=1)[:, 0]
+    return jnp.stack([x, y], axis=-1)
 
 
 def boundary_mask(particles: Particles) -> jax.Array:

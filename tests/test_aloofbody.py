@@ -51,7 +51,7 @@ def test_engine_renders_aloofbody():
             bodies=(("disc", 30, (0.42, 0.42), (0.0, 0.0), (0.2, 0.2, 1.0)),),
             capacity=256,
         ),
-        render=RenderParams(pair_capacity=2048, num_rays=256),
+        render=RenderParams(num_rays=256),
         width=48,
         height=48,
         history=32,

@@ -11,7 +11,7 @@ from spacetime_tpu.ops import curved, raytrace
 from spacetime_tpu.ops import worldline as wl
 
 H = 0.005
-PARAMS = raytrace.RenderParams(dt=H, pair_capacity=2048, num_rays=128, opaque=False)
+PARAMS = raytrace.RenderParams(dt=H, num_rays=128, opaque=False)
 
 
 def fitted(params, w, h, zoom):
@@ -91,7 +91,7 @@ def test_double_image_around_defect():
         )
     cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
     params = fitted(
-        dataclasses.replace(PARAMS, pair_capacity=4096), 128, 128, 1.4
+        PARAMS, 128, 128, 1.4
     )
     flat = np.asarray(
         raytrace.render_retarded(

@@ -17,7 +17,7 @@ def _tiny_config(**kw):
             bodies=(("disc", 50, (0.45, 0.45), (0.1, 0.0), (0.2, 0.2, 1.0)),),
             capacity=256,
         ),
-        render=RenderParams(pair_capacity=2048, num_rays=256),
+        render=RenderParams(num_rays=256),
         width=48,
         height=48,
         history=32,

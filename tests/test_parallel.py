@@ -24,7 +24,7 @@ def _setup(capacity=256, history=32):
     model = SoftbodyModel(capacity=capacity)
     buf = wl.create(history, capacity)
     buf = wl.push_frame(buf, particles, 0.0)
-    params = raytrace.RenderParams(pair_capacity=1024, num_rays=128)
+    params = raytrace.RenderParams(num_rays=128)
     params = dataclasses.replace(
         params, cell_px=raytrace.auto_cell_px(params, 48, 48, 0.5)
     )

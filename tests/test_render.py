@@ -18,7 +18,6 @@ H = 0.005
 
 SMALL = raytrace.RenderParams(
     dt=H,
-    pair_capacity=4096,
     bin_capacity=64,
     num_rays=512,
 )
@@ -172,8 +171,9 @@ def test_fast_matches_oracle_xray():
         buf, particles.object_index, objects, cam, 72, 72, fitted(params, 72, 72, 0.7)
     )
     b = np.asarray(b)
-    assert int(diag.pairs_dropped) == 0
+    assert int(diag.pairs_used) > 0
     assert int(diag.bin_dropped) == 0
+    assert not bool(diag.cell_too_small)
     mismatch = np.mean(np.any(np.abs(a - b) > 1e-3, axis=-1))
     assert mismatch < 0.01, f"{mismatch:.3%} pixels differ"
 
