@@ -341,10 +341,13 @@ def _band_pairs(
         base_col - (a0 + band - 1), 0, 2 * t_cap - (band + 1)
     )
 
+    # flat-index window gather: a vmapped dynamic_slice lowers to N separate
+    # serialized dynamic-slice ops on TPU (measured ~60 ms/frame); a flat
+    # gather of (N, band+1) indices is ~1 ms
+    widx = (row0 + start_col)[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
+
     def window(plane):
-        return jax.vmap(
-            lambda row, s_: jax.lax.dynamic_slice(row, (s_,), (band + 1,))
-        )(plane, start_col)
+        return plane.reshape(-1)[widx]
 
     wx = window(buf.pos_x)  # (N, band+1)
     wy = window(buf.pos_y)
