@@ -180,10 +180,7 @@ def total_forces_cells(
     from . import grid as grid_ops
 
     px, py = pos[:, 0], pos[:, 1]
-    cap = idx_nbr.shape[-1]
-    plane_x = grid_ops.scatter_plane(table, px, 1.0e9)
-    plane_y = grid_ops.scatter_plane(table, py, 1.0e9)
-    xy_rows = jnp.concatenate([plane_x, plane_y], axis=1)  # (n_cells+1, 2cap)
+    xy_rows = grid_ops.scatter_plane_xy(table, px, py, 1.0e9)  # (n_cells+1, 2cap)
     sfx, sfy = spring_forces_rows(px, py, neighbors, rest_lengths, params.k)
     cfx, cfy = collision_forces_cells(
         px, py, xy_rows, ncell, idx_nbr, neighbors,

@@ -235,6 +235,26 @@ def scatter_plane(table: CellTable, values: jax.Array, fill: float) -> jax.Array
     return plane.reshape(table.n_cells + 1, cap)
 
 
+def scatter_plane_xy(table: CellTable, px: jax.Array, py: jax.Array, fill: float):
+    """Scatter x into columns [0, cap) and y into [cap, 2cap) of one
+    (n_cells + 1, 2cap) row buffer — a single allocation per force stage
+    instead of two planes + a concatenate."""
+    cap = table.cap
+    width = 2 * cap
+    rows = table.n_cells + 1
+    cell = table.slot // cap
+    rank = table.slot % cap
+    sx = cell * width + rank
+    plane = jnp.full((rows * width,), fill, px.dtype)
+    plane = plane.at[sx].set(px)
+    plane = plane.at[sx + cap].set(py)
+    # clear anything parked in the dump row
+    plane = jax.lax.dynamic_update_slice(
+        plane, jnp.full((width,), fill, px.dtype), (table.n_cells * width,)
+    )
+    return plane.reshape(rows, width)
+
+
 def neighbor_cells(table: CellTable, grid_dim: int) -> jax.Array:
     """(N, 9) flat cell ids of each particle's 3x3 neighborhood (halo makes
     all offsets in-range); inactive particles point at the empty dump row."""

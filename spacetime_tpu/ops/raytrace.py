@@ -489,19 +489,21 @@ def _build_view_tables(
 
     skey, sval = jax.lax.sort_key_val(key, val)
     n_entries = skey.shape[0]
-    starts = jnp.full((n_vcells + 2,), n_entries, jnp.int32)
-    starts = starts.at[skey].min(jnp.arange(n_entries, dtype=jnp.int32))
-    rank = jnp.arange(n_entries, dtype=jnp.int32) - starts[skey]
+    # rank within each sorted run via segmented cummax (no scatter-min +
+    # re-gather: those cost ~12 ms/frame at 1080p, cummax streams on the VPU)
+    idx = jnp.arange(n_entries, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_start
     fits = (skey < n_vcells) & (rank < cap)
     dump = n_vcells * cap
     slot = jnp.where(fits, skey * cap + rank, dump)
     vslot = jnp.full((n_vcells * cap + 1,), -1, jnp.int32)
     vslot = vslot.at[slot].set(sval)
     vslot = vslot.at[dump].set(-1)
-    counts = jnp.zeros((n_vcells + 1,), jnp.int32).at[jnp.minimum(key, n_vcells)].add(
-        (key < n_vcells).astype(jnp.int32)
-    )
-    bin_dropped = jnp.sum(jnp.maximum(counts[:-1] - cap, 0))
+    bin_dropped = jnp.sum(((skey < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
     vok = vslot >= 0
