@@ -35,6 +35,16 @@ class SoftbodyModel:
     # (4 each at 0.0035 spacing).
     cell_capacity: int = 8
     integrator: str = "rk4"
+    # Pallas sorted-window collision kernel (TPU backends only); None = auto
+    use_pallas: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.use_pallas is None:
+            import jax
+
+            object.__setattr__(
+                self, "use_pallas", jax.default_backend() == "tpu"
+            )
 
     def rest_lengths(self) -> jax.Array:
         return jnp.asarray(self.params.rest_lengths())
@@ -50,6 +60,7 @@ class SoftbodyModel:
             self.grid_dim,
             self.cell_capacity,
             self.integrator,
+            self.use_pallas,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -66,6 +77,7 @@ class SoftbodyModel:
                 self.grid_dim,
                 self.cell_capacity,
                 self.integrator,
+                self.use_pallas,
             )
             return p, aux
 

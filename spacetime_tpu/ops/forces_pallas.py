@@ -1,0 +1,274 @@
+"""Pallas TPU kernel: fused particle-particle collision forces.
+
+This is the engine's hottest physics loop — the reference's per-particle
+9-cell grid scan (reference: src/twoplusone/softbody/softbodyrk4.glsl:90-114)
+— recast for the TPU memory hierarchy:
+
+  * Particles are SORTED by dense cell id once per step (the cell-table
+    binning already produces the order).  Row-major cell ids make any
+    particle's 3x3 cell neighborhood a CONTIGUOUS range of sorted rows
+    bounded by one grid row above and below.
+  * The kernel tiles the sorted particle list; for each tile it computes the
+    sorted-row window covering every member's neighborhood (host-side bounds
+    via a lower-bound table), DMAs the window slices HBM -> VMEM, and
+    brute-forces tile x window pair tests on the VPU in chunks.
+  * No gathers inside the kernel at all: the sort turned neighbor lookup
+    into contiguous slices, which is exactly what the TPU DMA engine wants.
+
+Layout notes (Mosaic constraints, all discovered the hard way):
+  * Dynamically sliced arrays are 3D with the sliced dim LEADING — the two
+    minor dims carry the (8, 128) tiling, the leading dim slices freely
+    (the paged-KV layout).  Window chunks are (rows, 8, 128) = 1024/step.
+  * Window starts are host-aligned to the 1024-element chunk so every DMA
+    moves whole chunks.
+
+Equivalent physics to forces.collision_forces_cells (constant-magnitude
+repulsion within collision_distance, excluding self and bonded neighbors) —
+tests assert parity against the O(n^2) oracle.  The brute-force window
+trades ~10x more candidate tests (all VPU, no memory traffic) for zero
+irregular access.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIGPOS = 2.0e9
+_SUB = 8
+_LANE = 128
+CHUNK = _SUB * _LANE  # 1024 window elements per DMA
+
+
+def _collision_kernel(
+    # scalar prefetch
+    wrow_ref,  # (n_tiles,) i32 — window start chunk-row per tile
+    wlen_ref,  # (n_tiles,) i32 — window length (elements) per tile
+    # VMEM (full arrays; leading dim sliced dynamically)
+    own_x_ref,  # (n_tiles, 1, tile)
+    own_y_ref,
+    own_id_ref,  # (n_tiles, 1, tile) i32
+    own_nbr_ref,  # (n_tiles, 8, tile) i32, bond-slot-major
+    # HBM (manual DMA)
+    srt_x_hbm,  # (n_chunk_rows, 8, 128)
+    srt_y_hbm,
+    srt_id_hbm,
+    # outputs
+    fx_ref,  # (n_tiles, 1, tile)
+    fy_ref,
+    # scratch
+    wx_ref,  # (1, 8, 128)
+    wy_ref,
+    wid_ref,
+    sems,  # (3,) DMA semaphores
+    *,
+    tile: int,
+    wmax: int,
+    collision_distance: float,
+    repulsion: float,
+):
+    t = pl.program_id(0)
+    wrow = wrow_ref[t]
+    wlen = jnp.minimum(wlen_ref[t], wmax)
+    # dynamic trip count: typical windows are 1-2 chunks, wmax is the bound
+    n_chunks = jnp.minimum((wlen + CHUNK - 1) // CHUNK, wmax // CHUNK)
+
+    own_x = own_x_ref[t].reshape(tile, 1)
+    own_y = own_y_ref[t].reshape(tile, 1)
+    own_id = own_id_ref[t].reshape(tile, 1)
+
+    def dma(c):
+        return [
+            pltpu.make_async_copy(hbm.at[pl.ds(wrow + c, 1)], vref, sems.at[k])
+            for hbm, vref, k in (
+                (srt_x_hbm, wx_ref, 0),
+                (srt_y_hbm, wy_ref, 1),
+                (srt_id_hbm, wid_ref, 2),
+            )
+        ]
+
+    def body(c, acc):
+        fx, fy = acc
+        for cp in dma(c):
+            cp.start()
+        for cp in dma(c):
+            cp.wait()
+        # process the chunk one sublane row at a time: (tile, 128) ops
+        for r in range(_SUB):
+            wx = wx_ref[0, r, :].reshape(1, _LANE)
+            wy = wy_ref[0, r, :].reshape(1, _LANE)
+            wid = wid_ref[0, r, :].reshape(1, _LANE)
+            j = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                + c * CHUNK + r * _LANE
+            )
+            dx = own_x - wx  # (tile, 128)
+            dy = own_y - wy
+            dist2 = dx * dx + dy * dy
+            hit = (
+                (j < wlen)
+                & (dist2 < collision_distance * collision_distance)
+                & (dist2 > 0.0)
+                & (wid != own_id)
+            )
+            for s in range(8):
+                nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
+                hit = hit & (wid != nbr_s)
+            inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+            mag = jnp.where(hit, repulsion * inv, 0.0)
+            fx = fx + jnp.sum(mag * dx, axis=1)
+            fy = fy + jnp.sum(mag * dy, axis=1)
+        return fx, fy
+
+    fx, fy = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((tile,), jnp.float32), jnp.zeros((tile,), jnp.float32)),
+        unroll=False,
+    )
+    fx_ref[t] = fx.reshape(1, tile)
+    fy_ref[t] = fy.reshape(1, tile)
+
+
+class SortedOrder(NamedTuple):
+    """Per-step sorted-by-cell ordering + per-tile window bounds."""
+
+    sorted_idx: jax.Array  # (N,) particle index per sorted row
+    srt_id: jax.Array  # (N,) == sorted_idx but -1 for inactive
+    wrow: jax.Array  # (n_tiles,) window start CHUNK row
+    wlen: jax.Array  # (n_tiles,) window length in elements (from chunk start)
+    window_truncated: jax.Array  # () i32
+
+
+def build_sorted_order(
+    cell: jax.Array,  # (N,) flat halo cell id per particle (grid.CellTable.cell)
+    active: jax.Array,
+    n_cells: int,
+    grid_side: int,
+    tile: int,
+    wmax: int,
+) -> SortedOrder:
+    """Sort particles by cell and compute per-tile window bounds covering
+    every member's 3x3 cell neighborhood (one grid row above/below)."""
+    n = cell.shape[0]
+    key = jnp.where(active, cell, n_cells)
+    skey, sidx = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    # lower-bound table: first sorted row with cell >= c
+    starts = jnp.full((n_cells + 2,), n, jnp.int32)
+    starts = starts.at[skey].min(jnp.arange(n, dtype=jnp.int32))
+    lb = jax.lax.cummin(starts[::-1])[::-1]
+
+    n_tiles = -(-n // tile)
+    first = skey[jnp.arange(n_tiles) * tile]
+    last = skey[jnp.minimum((jnp.arange(n_tiles) + 1) * tile, n) - 1]
+    lo_cell = jnp.clip(first - grid_side - 1, 0, n_cells)
+    hi_cell = jnp.clip(last + grid_side + 2, 0, n_cells + 1)
+    wstart = (lb[lo_cell] // CHUNK) * CHUNK  # chunk-aligned
+    wlen = lb[hi_cell] - wstart
+    truncated = jnp.sum(jnp.maximum(wlen - wmax, 0))
+    return SortedOrder(
+        sorted_idx=sidx,
+        srt_id=jnp.where(skey < n_cells, sidx, -1),
+        wrow=wstart // CHUNK,
+        wlen=jnp.minimum(wlen, wmax),
+        window_truncated=truncated,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "wmax", "collision_distance", "repulsion",
+                     "interpret"),
+)
+def collision_forces_pallas(
+    pos: jax.Array,  # (N, 2) current-stage positions (particle order)
+    neighbors: jax.Array,  # (N, 8) bonded global indices
+    order: SortedOrder,
+    tile: int = 256,
+    wmax: int = 4096,
+    collision_distance: float = 0.002,
+    repulsion: float = 100.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Collision forces via the sorted-window kernel; returns (N, 2)."""
+    assert wmax % CHUNK == 0
+    n = pos.shape[0]
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
+    px, py = pos[:, 0], pos[:, 1]
+    sidx = order.sorted_idx
+    srt_x = jnp.where(order.srt_id >= 0, px[sidx], _BIGPOS)
+    srt_y = jnp.where(order.srt_id >= 0, py[sidx], _BIGPOS)
+    # pad so any window [chunk_start, chunk_start + wmax) is in bounds and
+    # the total length is CHUNK-aligned
+    pad = wmax + (-(n + wmax) % CHUNK)
+    srt_x_p = jnp.pad(srt_x, (0, pad), constant_values=_BIGPOS)
+    srt_y_p = jnp.pad(srt_y, (0, pad), constant_values=_BIGPOS)
+    srt_id_p = jnp.pad(order.srt_id, (0, pad), constant_values=-1)
+    own_nbr = neighbors[sidx]  # (N, 8) in sorted order
+
+    own_x2 = jnp.pad(srt_x, (0, n_pad - n)).reshape(n_tiles, 1, tile)
+    own_y2 = jnp.pad(srt_y, (0, n_pad - n)).reshape(n_tiles, 1, tile)
+    own_id2 = jnp.pad(order.srt_id, (0, n_pad - n), constant_values=-1).reshape(
+        n_tiles, 1, tile
+    )
+    own_nbr2 = (
+        jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
+        .reshape(n_tiles, tile, 8)
+        .transpose(0, 2, 1)
+    )  # (n_tiles, 8, tile)
+
+    kernel = functools.partial(
+        _collision_kernel,
+        tile=tile,
+        wmax=wmax,
+        collision_distance=collision_distance,
+        repulsion=repulsion,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((1, _SUB, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    fx_s, fy_s = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        order.wrow, order.wlen,
+        own_x2, own_y2, own_id2, own_nbr2,
+        srt_x_p.reshape(-1, _SUB, _LANE),
+        srt_y_p.reshape(-1, _SUB, _LANE),
+        srt_id_p.reshape(-1, _SUB, _LANE),
+    )
+    # scatter sorted-order forces back to particle order
+    fx = jnp.zeros((n,), jnp.float32).at[sidx].set(fx_s.reshape(-1)[:n])
+    fy = jnp.zeros((n,), jnp.float32).at[sidx].set(fy_s.reshape(-1)[:n])
+    return jnp.stack([fx, fy], axis=-1)

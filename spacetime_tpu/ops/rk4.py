@@ -161,6 +161,7 @@ def physics_step(
     grid_dim: int,
     cell_capacity: int,
     integrator: str = "rk4",
+    use_pallas: bool = False,
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -176,13 +177,36 @@ def physics_step(
     table = grid_ops.build_cell_table(
         pos0, particles.active, params.grid_resolution, grid_dim, cell_capacity
     )
-    ncell = grid_ops.neighbor_cells(table, grid_dim)  # (N, 9)
-    idx_nbr = table.idx_rows[ncell]  # (N, 9, cap) — fixed per step
+    if use_pallas:
+        # fused Pallas collision kernel over sorted cell windows (TPU only);
+        # binning order fixed per step, positions re-fed per stage — the
+        # same grid-reuse dataflow as the reference (softbody/mod.rs:557-596)
+        from . import forces_pallas as fp
 
-    def F(pos):
-        return forces_ops.total_forces_cells(
-            pos, nbr, table, ncell, idx_nbr, rest_lengths, params
+        order = fp.build_sorted_order(
+            table.cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
+            tile=256, wmax=4096,
         )
+
+        def F(pos):
+            coll = fp.collision_forces_pallas(
+                pos, nbr, order,
+                collision_distance=params.collision_distance,
+                repulsion=params.collision_repulsion_coefficient,
+            )
+            sfx, sfy = forces_ops.spring_forces_rows(
+                pos[:, 0], pos[:, 1], nbr, rest_lengths, params.k
+            )
+            return coll + jnp.stack([sfx, sfy], axis=-1)
+
+    else:
+        ncell = grid_ops.neighbor_cells(table, grid_dim)  # (N, 9)
+        idx_nbr = table.idx_rows[ncell]  # (N, 9, cap) — fixed per step
+
+        def F(pos):
+            return forces_ops.total_forces_cells(
+                pos, nbr, table, ncell, idx_nbr, rest_lengths, params
+            )
 
     if integrator == "euler":
         f = F(pos0)
