@@ -23,28 +23,27 @@ boundary-mesh + BVH design (worldline/mod.rs:37-44,
 object_archive.txt:249-287) with something exact for the disc-union geometry
 and fully regular on TPU.
 
-Acceleration structure (TPU-native: no BVH, no dynamic stacks):
-  1. *Annulus candidate compaction* — a (slot, particle) segment can only
-     meet the light cone where its camera-distance interval overlaps its
-     retarded-radius interval: a vectorized (T, N) mask compacting to ~3N
-     pairs (each worldline crosses the cone once, staying near it O(1) ticks).
-  2. *Spatial hashing of pairs* — compacted pairs splat into the <=3x3 hashed
-     uniform-grid cells their reach disc touches (one `lax.sort`, the
-     collision-grid machinery reapplied to the cone-crossing set).  The
-     annulus property is what makes this work: at any map location only ~2-3
-     ticks' worth of worldline segments are cone-crossing, so per-cell counts
-     are bounded by LOCAL particle density — uniform in radius, no near-field
-     special case, and no time dimension needed in the table.
+Acceleration structure (TPU-native: no BVH, no dynamic stacks, no scalar
+gathers in hot loops — see PERF.md for the measured costs that forced this):
+  1. *Light-cone band search* — because |v| < c while the cone radius grows
+     at exactly c per tick, f(age) = dist(age) - age*dt is strictly monotone:
+     each worldline crosses the cone in EXACTLY ONE contiguous tick band.  A
+     per-particle binary search (log2 T flat probes) plus one contiguous
+     window gather from the mirrored (N, 2T) buffer yields all candidate
+     segments in a static (N, band) layout — O(N log T), independent of
+     history length, no (T, N) mask, no compaction scatter.
+  2. *View-cell binning* — candidate segments splat (one sort + segmented-
+     cummax ranks + one scatter) into cells that COINCIDE with cell_px^2
+     pixel blocks of the image, so pixel <-> candidate matching is pure index
+     arithmetic; candidate data densifies via one row gather per cell.
   3. *1D retina* — the camera is a point, so occlusion needs one first-hit
-     march per ANGLE (``num_rays``), not per pixel.  Rays test the compacted
-     pair list directly as a dense chunked broadcast (no gathers, exact).
-  4. *Per-pixel retarded occupancy* — each pixel gathers exactly ONE hash
-     cell (cell size >= 2x capsule reach guarantees single-cell coverage) to
-     decide whether its own light-cone event is inside matter and which
-     particle shades it.
+     march per ANGLE (``num_rays``), not per pixel.  Rays test the candidate
+     list as a dense chunked broadcast (no gathers, exact).
+  4. *Per-pixel retarded occupancy* — each k x k pixel block broadcast-tests
+     its own cell's candidates on the VPU; winners are selected by masked
+     reduction (one-hot), never argmin + take_along.
 
-Total work is O(T*N mask + pairs log pairs + rays*pairs + pixels*capacity) —
-independent of history length per pixel.
+Total work is O(N log T + pairs log pairs + rays*pairs + pixels*capacity).
 
 Layout rule (hard-won): every hot-path array is a SCALAR COMPONENT plane —
 no broadcasted (..., 2) vectors, no (..., 3) rgb tensors.  TPU tiles the two
@@ -83,7 +82,8 @@ class RenderParams:
 
     dt: float = 0.005  # history tick spacing (= PhysicsParams.h if pushed every step)
     rho: float = 0.0026  # particle render radius; >= half diagonal spacing fills interiors
-    band: int = 8  # cone-crossing ticks kept per particle (see _band_pairs)
+    band: int = 6  # cone-crossing ticks kept per particle (see _band_pairs);
+    # covers radial speeds to ~0.6c — band_truncated in RenderDiag flags overruns
     bin_capacity: int = 64  # candidates per spatial hash cell
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     ray_chunk: int = 2048  # pairs per scan chunk in the retina march
