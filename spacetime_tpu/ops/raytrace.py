@@ -835,15 +835,16 @@ def _render_retarded_impl(
             px, py, r, occupied, best, s_first_px, vdat, cam, params
         )
 
-    crgb = jax.lax.map(
-        block_fn,
-        (
-            tables.vdat.reshape(n_blocks, cb, *tables.vdat.shape[1:]),
-            tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
-            pxs.reshape(n_blocks, cb, -1),
-            pys.reshape(n_blocks, cb, -1),
-        ),
-    )  # (n_blocks, cb, 3, k2)
+    args = (
+        tables.vdat.reshape(n_blocks, cb, *tables.vdat.shape[1:]),
+        tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
+        pxs.reshape(n_blocks, cb, -1),
+        pys.reshape(n_blocks, cb, -1),
+    )
+    if n_blocks <= 1:
+        crgb = block_fn(jax.tree.map(lambda a: a[0], args))[None]
+    else:
+        crgb = jax.lax.map(block_fn, args)  # (n_blocks, cb, 3, k2)
     img = _assemble_image(
         crgb, width, height, params, planar, wc_img, hc_img
     )
