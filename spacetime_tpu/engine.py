@@ -219,6 +219,11 @@ class Engine:
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, cfg.width, cfg.height, params,
             )
+        if mode == "retina":
+            return raytrace.render_retina(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, rparams, height=max(16, cfg.height // 8),
+            )
         if mode == "conical":
             from .ops import curved
 

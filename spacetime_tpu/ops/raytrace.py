@@ -777,6 +777,174 @@ def _retina(pairs: PairData, cam, t_now, params: RenderParams):
     return s_first
 
 
+def render_retina(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    params: RenderParams,
+    height: int = 64,
+    planar: bool = False,
+):
+    """The observer's ACTUAL field of view: a 360-degree 1D retina strip.
+
+    Unlike the map view (which shows retarded state at map positions), this
+    is what a point camera physically sees: one color per CAMERA-FRAME
+    arrival angle, with relativistic ABERRATION mapping camera-frame angles
+    to ground-frame look directions — a moving observer sees the forward
+    view angularly compressed (headlight effect) and Doppler boosted
+    (BASELINE config 4).  Returns an (height, num_rays, 3) strip (the 1D
+    retina repeated vertically for display).
+    """
+    return _render_retina_impl(buf, obj_index, objects, cam, params, height, planar)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "planar"))
+def _render_retina_impl(buf, obj_index, objects, cam, params, height, planar):
+    dt, rho = params.dt, params.rho
+    t_now = buf.times[buf.cursor]
+    n_rays = params.num_rays
+    # camera-frame arrival angles -> ground-frame look directions (aberration)
+    theta = -_PI + (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (2 * _PI / n_rays)
+    # photon arrives along -d_cam in the camera frame; compose with camera
+    # velocity to get its ground-frame propagation, then look along -that.
+    acx = -jnp.cos(theta)
+    acy = -jnp.sin(theta)
+    cvx, cvy = cam.vel[0], cam.vel[1]
+    # velocity addition (componentized, c=1): u' = ((u.v_hat + v) v_hat + u_perp/gamma) / (1 + u.v)
+    v2 = cvx * cvx + cvy * cvy
+    safe_v2 = jnp.maximum(v2, 1e-12)
+    udotv = acx * cvx + acy * cvy
+    parx = udotv / safe_v2 * cvx
+    pary = udotv / safe_v2 * cvy
+    g = _gamma_xy(cvx, cvy)
+    denom = 1.0 + udotv
+    px_ = jnp.where(v2 > 1e-12, (parx + cvx + (acx - parx) / g) / denom, acx)
+    py_ = jnp.where(v2 > 1e-12, (pary + cvy + (acy - pary) / g) / denom, acy)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(px_ * px_ + py_ * py_), 1e-12)
+    dhx = -px_ * inv  # ground-frame look direction
+    dhy = -py_ * inv
+
+    # candidates: cone band search over the full plane (a panorama sees all
+    # directions, so no view-rect culling)
+    pairs = _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params)
+
+    # march all pairs, tracking the winning pair's shading fields
+    pcap = pairs.pdata.shape[0]
+    chunk = min(params.ray_chunk, pcap)
+    n_chunks = -(-pcap // chunk)
+    pad = n_chunks * chunk - pcap
+    pd = pairs.pdata
+
+    def col(i):
+        return jnp.pad(pd[:, i], (0, pad)).reshape(n_chunks, chunk)
+
+    cok = jnp.pad(pairs.pair_valid, (0, pad)).reshape(n_chunks, chunk)
+
+    def step(carry, args):
+        s_min, wvx, wvy, wcr, wcg, wcb = carry
+        ax, ay, bx, by, t_, vx, vy, cr, cg, cb, ok = args
+        hit, s_hit = _ray_hit_xy(
+            cam.pos[0], cam.pos[1], dhx[:, None], dhy[:, None],
+            ax[None], ay[None], bx[None], by[None], t_[None], t_now, dt, rho,
+        )
+        s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
+        s_c = jnp.min(s_hit, axis=1)
+        win = (s_hit == s_c[:, None]) & (s_c[:, None] < _BIG)
+        first = win & (jnp.cumsum(win.astype(jnp.int32), axis=1) == 1)
+        pick = lambda f: jnp.sum(jnp.where(first, f[None, :], 0.0), axis=1)
+        better = s_c < s_min
+        return (
+            jnp.where(better, s_c, s_min),
+            jnp.where(better, pick(vx), wvx),
+            jnp.where(better, pick(vy), wvy),
+            jnp.where(better, pick(cr), wcr),
+            jnp.where(better, pick(cg), wcg),
+            jnp.where(better, pick(cb), wcb),
+        ), None
+
+    init = tuple(jnp.full((n_rays,), v, jnp.float32) for v in (_BIG, 0, 0, 0, 0, 0))
+    (s_first, vx, vy, cr, cg, cb), _ = jax.lax.scan(
+        step, init,
+        (col(_F_AX), col(_F_AY), col(_F_BX), col(_F_BY), col(_F_TA),
+         col(_F_VX), col(_F_VY), col(_F_CR), col(_F_CG), col(_F_CB), cok),
+    )
+    hit_any = s_first < _BIG
+    nx, ny = -dhx, -dhy  # photon propagation: event -> camera (ground frame)
+    d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+        cvx, cvy, nx, ny
+    )
+    sr, sg, sb = shade_channels(cr, cg, cb, d, params)
+    comp = lambda c: jnp.where(hit_any, c, 1.0)
+    strip = jnp.stack([comp(sr), comp(sg), comp(sb)], axis=0)  # (3, R)
+    img = jnp.broadcast_to(strip[:, None, :], (3, height, n_rays))
+    return img if planar else img.transpose(1, 2, 0)
+
+
+def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
+    """Band pairs without view-rect culling (retina sees all directions)."""
+    dt, rho, band = params.dt, params.rho, params.band
+    t_cap = buf.capacity
+    n = buf.num_particles
+    cxm, cym = cam.pos[0], cam.pos[1]
+    route = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
+
+    flat_x = buf.pos_x.reshape(-1)
+    flat_y = buf.pos_y.reshape(-1)
+    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
+    base_col = buf.cursor + t_cap
+    thresh = rho + dt
+
+    def f_at(a):
+        idx = row0 + (base_col - a)
+        return route(flat_x[idx], flat_y[idx]) - a.astype(jnp.float32) * dt
+
+    hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
+    lo = jnp.ones((n,), jnp.int32)
+    hi = jnp.full((n,), 1, jnp.int32) * hi0
+    for _ in range(max(1, (t_cap - 1).bit_length())):
+        mid = (lo + hi) // 2
+        go = f_at(mid) > thresh
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    a0 = lo
+    start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - (band + 1))
+    widx = (row0 + start_col)[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
+    window = lambda plane: plane.reshape(-1)[widx]
+    wx, wy = window(buf.pos_x), window(buf.pos_y)
+    wvx, wvy = window(buf.vel_x), window(buf.vel_y)
+    cols = start_col[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
+    ages = base_col - cols
+    qax, qay = wx[:, :band], wy[:, :band]
+    qbx, qby = wx[:, 1:], wy[:, 1:]
+    pvx, pvy = wvx[:, :band], wvy[:, :band]
+    age_a = ages[:, :band]
+    pta = t_now - age_a.astype(jnp.float32) * dt
+    ra, rb = route(qax, qay), route(qbx, qby)
+    s_hi = t_now - pta
+    valid = (
+        (age_a >= 1) & (age_a <= hi0)
+        & (jnp.maximum(ra, rb) >= s_hi - dt - rho)
+        & (jnp.minimum(ra, rb) <= s_hi + rho)
+        & (jnp.abs(qax) < 1.0e8)
+    )
+    far = 2.0e9
+    keep = lambda v: jnp.where(valid, v, far).reshape(-1)
+    colr = lambda c: jnp.broadcast_to(
+        objects.base_color[:, c][obj_index][:, None], (n, band)
+    ).reshape(-1)
+    pdata = jnp.stack(
+        [keep(qax), keep(qay), keep(qbx), keep(qby),
+         jnp.where(valid, pta, 0.0).reshape(-1),
+         pvx.reshape(-1), pvy.reshape(-1), colr(0), colr(1), colr(2)],
+        axis=-1,
+    )
+    return PairData(
+        pdata=pdata, pair_valid=valid.reshape(-1),
+        n_pairs=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
 def _render_retarded_impl(
     buf: WorldlineBuffer,
     obj_index: jax.Array,

@@ -134,8 +134,9 @@ def config_conical_defect() -> EngineConfig:
         width=512,
         height=512,
         history=512,
+        cam_pos=(0.5, 0.1),  # off the defect: geodesic routes degenerate at r=0
         render_mode="conical",
-        defect=((0.5, 0.5), 1.2),
+        defect=((0.5, 0.55), 1.2),
     )
 
 
