@@ -34,11 +34,11 @@ def build():
 
     sb = scene.SceneBuilder()
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(5000), 0, (0.35, 0.40), (0.45, 0.10)),
+        scene.disc_softbody(scene.radius_for_count(5000), 0, (0.35, 0.40), (0.25, 0.05)),
         base_color=(0.25, 0.35, 1.0),
     )
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(5000), 1, (1.05, 0.55), (-0.45, -0.10)),
+        scene.disc_softbody(scene.radius_for_count(5000), 1, (1.05, 0.55), (-0.25, -0.05)),
         base_color=(1.0, 0.3, 0.25),
     )
     particles, objects = sb.build()
