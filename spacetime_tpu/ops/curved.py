@@ -142,6 +142,9 @@ def render_retarded_conical(
         pair_valid=jnp.concatenate([pairs1.pair_valid, pairs2.pair_valid]),
         n_pairs=pairs1.n_pairs + pairs2.n_pairs,
     )
+    from .raytrace import _compact_pairs_to_budget
+
+    pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
 
     tables, _bdrop, _small, geom = _build_view_tables(
         pairs, cam, width, height, params

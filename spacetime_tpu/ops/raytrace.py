@@ -88,6 +88,10 @@ class RenderParams:
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     ray_chunk: int = 2048  # pairs per scan chunk in the retina march
     cell_px: int = 16  # view-cell edge in pixels; k*pixel_size must be >= reach
+    # compact valid pairs to this budget before the splat sort when the raw
+    # N*band layout is larger (0 = never compact); bounds the binning cost at
+    # large particle counts (reference demo scale: 686k slots -> 131k)
+    pair_budget: int = 131072
     cells_per_block: int = 512  # view cells per lax.map block (bounds HBM)
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
@@ -415,6 +419,30 @@ def _band_pairs(
         pair_valid=valid.reshape(-1),
         n_pairs=jnp.sum(valid.astype(jnp.int32)),
     ), truncated
+
+
+def _compact_pairs_to_budget(pairs: "PairData", budget: int) -> "PairData":
+    """Stream-compact valid pairs into a smaller static layout (cumsum +
+    scatter).  Only worth it when pdata rows >> valid pairs: the splat sort
+    downstream costs O(rows * 9 log)."""
+    rows = pairs.pdata.shape[0]
+    if budget <= 0 or budget >= rows:
+        return pairs
+    mask = pairs.pair_valid
+    write_pos = jnp.cumsum(mask) - 1
+    idx = jnp.full((budget,), rows, jnp.int32)
+    src = jnp.arange(rows, dtype=jnp.int32)
+    idx = idx.at[jnp.where(mask, write_pos, budget)].set(src, mode="drop")
+    taken = jnp.minimum(idx, rows - 1)
+    ok = idx < rows
+    far = 2.0e9
+    pdata = pairs.pdata[taken]
+    pdata = jnp.where(ok[:, None], pdata, far)
+    return PairData(
+        pdata=pdata,
+        pair_valid=ok,
+        n_pairs=pairs.n_pairs,  # pre-budget count (diag shows drops)
+    )
 
 
 class PairData(NamedTuple):
@@ -962,6 +990,7 @@ def _render_retarded_impl(
         pairs, band_truncated = _band_pairs(
             buf, obj_index, objects, cam, t_now, width, height, params
         )
+        pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
     else:
         pairs = _instant_pairs(buf, obj_index, objects, params)
         band_truncated = jnp.int32(0)
