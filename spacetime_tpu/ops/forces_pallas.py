@@ -82,9 +82,12 @@ def _collision_kernel(
     own_y = own_y_ref[t].reshape(tile, 1)
     own_id = own_id_ref[t].reshape(tile, 1)
 
-    def dma(c):
+    def dma(slot, c):
         return [
-            pltpu.make_async_copy(hbm.at[pl.ds(wrow + c, 1)], vref, sems.at[k])
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(wrow + c, 1)], vref.at[pl.ds(slot, 1)],
+                sems.at[slot, k],
+            )
             for hbm, vref, k in (
                 (srt_x_hbm, wx_ref, 0),
                 (srt_y_hbm, wy_ref, 1),
@@ -92,17 +95,25 @@ def _collision_kernel(
             )
         ]
 
+    for cp in dma(0, 0):
+        cp.start()
+
     def body(c, acc):
         fx, fy = acc
-        for cp in dma(c):
-            cp.start()
-        for cp in dma(c):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for cp in dma((c + 1) % 2, c + 1):
+                cp.start()
+
+        for cp in dma(slot, c):
             cp.wait()
         # process the chunk one sublane row at a time: (tile, 128) ops
         for r in range(_SUB):
-            wx = wx_ref[0, r, :].reshape(1, _LANE)
-            wy = wy_ref[0, r, :].reshape(1, _LANE)
-            wid = wid_ref[0, r, :].reshape(1, _LANE)
+            wx = wx_ref[slot, r, :].reshape(1, _LANE)
+            wy = wy_ref[slot, r, :].reshape(1, _LANE)
+            wid = wid_ref[slot, r, :].reshape(1, _LANE)
             j = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
                 + c * CHUNK + r * _LANE
@@ -142,6 +153,34 @@ class SortedOrder(NamedTuple):
     wrow: jax.Array  # (n_tiles,) window start CHUNK row
     wlen: jax.Array  # (n_tiles,) window length in elements (from chunk start)
     window_truncated: jax.Array  # () i32
+
+
+class SortedStatic(NamedTuple):
+    """Per-step kernel inputs that don't change across RK4 stages — hoisted
+    so the four force evaluations don't re-pad/re-transpose them."""
+
+    own_id2: jax.Array  # (n_tiles, 1, tile)
+    own_nbr2: jax.Array  # (n_tiles, 8, tile)
+    srt_id_p: jax.Array  # (n_chunk_rows, 8, 128)
+
+
+def prepare_static(order: SortedOrder, neighbors: jax.Array, tile: int = 256,
+                   wmax: int = 4096) -> SortedStatic:
+    """Sorted ids/bonds in kernel layout; computed once per step."""
+    n = neighbors.shape[0]
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+    pad = wmax + (-(n + wmax) % CHUNK)
+    own_nbr = neighbors[order.sorted_idx]
+    return SortedStatic(
+        own_id2=jnp.pad(order.srt_id, (0, n_pad - n), constant_values=-1)
+        .reshape(n_tiles, 1, tile),
+        own_nbr2=jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
+        .reshape(n_tiles, tile, 8)
+        .transpose(0, 2, 1),
+        srt_id_p=jnp.pad(order.srt_id, (0, pad), constant_values=-1)
+        .reshape(-1, _SUB, _LANE),
+    )
 
 
 def build_sorted_order(
@@ -188,6 +227,7 @@ def collision_forces_pallas(
     pos: jax.Array,  # (N, 2) current-stage positions (particle order)
     neighbors: jax.Array,  # (N, 8) bonded global indices
     order: SortedOrder,
+    static: "SortedStatic | None" = None,
     tile: int = 256,
     wmax: int = 4096,
     collision_distance: float = 0.002,
@@ -199,6 +239,8 @@ def collision_forces_pallas(
     n = pos.shape[0]
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
+    if static is None:
+        static = prepare_static(order, neighbors, tile, wmax)
 
     px, py = pos[:, 0], pos[:, 1]
     sidx = order.sorted_idx
@@ -209,19 +251,12 @@ def collision_forces_pallas(
     pad = wmax + (-(n + wmax) % CHUNK)
     srt_x_p = jnp.pad(srt_x, (0, pad), constant_values=_BIGPOS)
     srt_y_p = jnp.pad(srt_y, (0, pad), constant_values=_BIGPOS)
-    srt_id_p = jnp.pad(order.srt_id, (0, pad), constant_values=-1)
-    own_nbr = neighbors[sidx]  # (N, 8) in sorted order
+    srt_id_p = static.srt_id_p
 
     own_x2 = jnp.pad(srt_x, (0, n_pad - n)).reshape(n_tiles, 1, tile)
     own_y2 = jnp.pad(srt_y, (0, n_pad - n)).reshape(n_tiles, 1, tile)
-    own_id2 = jnp.pad(order.srt_id, (0, n_pad - n), constant_values=-1).reshape(
-        n_tiles, 1, tile
-    )
-    own_nbr2 = (
-        jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
-        .reshape(n_tiles, tile, 8)
-        .transpose(0, 2, 1)
-    )  # (n_tiles, 8, tile)
+    own_id2 = static.own_id2
+    own_nbr2 = static.own_nbr2
 
     kernel = functools.partial(
         _collision_kernel,
@@ -247,10 +282,10 @@ def collision_forces_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((1, _SUB, _LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     fx_s, fy_s = pl.pallas_call(
@@ -266,7 +301,7 @@ def collision_forces_pallas(
         own_x2, own_y2, own_id2, own_nbr2,
         srt_x_p.reshape(-1, _SUB, _LANE),
         srt_y_p.reshape(-1, _SUB, _LANE),
-        srt_id_p.reshape(-1, _SUB, _LANE),
+        srt_id_p,
     )
     # scatter sorted-order forces back to particle order
     fx = jnp.zeros((n,), jnp.float32).at[sidx].set(fx_s.reshape(-1)[:n])

@@ -187,10 +187,11 @@ def physics_step(
             table.cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
             tile=256, wmax=4096,
         )
+        static = fp.prepare_static(order, nbr)
 
         def F(pos):
             coll = fp.collision_forces_pallas(
-                pos, nbr, order,
+                pos, nbr, order, static,
                 collision_distance=params.collision_distance,
                 repulsion=params.collision_repulsion_coefficient,
             )
