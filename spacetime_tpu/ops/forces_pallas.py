@@ -61,11 +61,11 @@ def _collision_kernel(
     # outputs
     fx_ref,  # (n_tiles, 1, tile)
     fy_ref,
-    # scratch
-    wx_ref,  # (1, 8, 128)
+    # scratch (double-buffered window chunks; leading dim = slot)
+    wx_ref,  # (2, 8, 128)
     wy_ref,
     wid_ref,
-    sems,  # (3,) DMA semaphores
+    sems,  # (2, 3) DMA semaphores
     *,
     tile: int,
     wmax: int,
