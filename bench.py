@@ -46,7 +46,9 @@ def build():
     buf = wl.create(history, particles.capacity)
     buf = wl.push_frame(buf, particles, 0.0)
     cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
-    params = raytrace.RenderParams(dt=model.params.h, num_rays=4096)
+    params = raytrace.RenderParams(
+        dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=48
+    )
     params = dataclasses.replace(
         params, cell_px=raytrace.auto_cell_px(params, width, height, 1.2)
     )
