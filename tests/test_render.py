@@ -215,3 +215,23 @@ def test_occlusion_shadow_behind_blob():
     # use world (0.4, 0) -> px x = 31.5 + 0.4/1.0*64 = 57
     assert img_op[31, 57].max() < 0.95  # shadowed
     assert (img_x[31, 57] == 1.0).all()  # x-ray: background
+
+
+def test_pair_budget_compaction_preserves_image():
+    """Compacting pairs to a budget >= the valid count must not change the
+    render at all (the flagship perf path)."""
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.15, 0.05), vel=(0.2, -0.1), n_ticks=64,
+        extra=scene.disc_softbody(3, 1, (-0.1, -0.15), (0.1, 0.25)),
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    p_nobudget = dataclasses.replace(fitted(SMALL, 72, 72, 0.7), pair_budget=0)
+    p_budget = dataclasses.replace(p_nobudget, pair_budget=1024)
+    a, diag = raytrace.render_retarded_with_diag(
+        buf, particles.object_index, objects, cam, 72, 72, p_nobudget
+    )
+    assert int(diag.pairs_used) < 1024  # budget is not binding
+    b = raytrace.render_retarded(
+        buf, particles.object_index, objects, cam, 72, 72, p_budget
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
