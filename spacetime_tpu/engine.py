@@ -156,6 +156,48 @@ class Engine:
     def present(self):
         return getattr(self, "_present", None)
 
+    # -- fused frame --------------------------------------------------------
+
+    def _fused_frame_fn(self, rparams):
+        """One jitted program for step + worldline push + render (SURVEY.md §7
+        item 7: fused double-buffered loop).  Rebuilt only when the static
+        render params change (e.g. zoom crossing a cell-size boundary)."""
+        key = (rparams, self.config.render_mode)
+        cached = getattr(self, "_fused_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        cfg = self.config
+        model, objects = self.model, self.objects
+        mode = cfg.render_mode
+
+        def frame(particles, buf, cam, t):
+            particles, aux = model.step(particles)
+            buf = wl.push_frame(buf, particles, t)
+            if mode == "retarded":
+                img = raytrace.render_retarded(
+                    buf, particles.object_index, objects, cam,
+                    cfg.width, cfg.height, rparams,
+                )
+            else:
+                params = dataclasses.replace(rparams, opaque=False, retarded=False)
+                img = raytrace.render_retarded(
+                    buf, particles.object_index, objects, cam,
+                    cfg.width, cfg.height, params,
+                )
+            return particles, buf, aux, img
+
+        fn = jax.jit(frame)
+        self._fused_cache = (key, fn)
+        return fn
+
+    def _can_fuse(self) -> bool:
+        return (
+            not self.aloof_bodies
+            and not self.paused
+            and self.config.steps_per_frame == 1
+            and self.config.render_mode in ("retarded", "instant")
+        )
+
     # -- frame loop ---------------------------------------------------------
 
     def step_physics(self) -> None:
@@ -246,11 +288,20 @@ class Engine:
                 self.paused = not self.paused
         self.update_camera_kinematics(frame_dt)
         t1 = time.perf_counter()
-        if not self.paused:
-            self.step_physics()
-        t2 = time.perf_counter()
-        img = self.render()
-        t3 = time.perf_counter()
+        if self._can_fuse():
+            fn = self._fused_frame_fn(self._render_params())
+            self.time += self.config.physics.h
+            self.particles, self.worldline, self.last_aux, img = fn(
+                self.particles, self.worldline, self.camera,
+                jnp.float32(self.time),
+            )
+            t2 = t3 = time.perf_counter()
+        else:
+            if not self.paused:
+                self.step_physics()
+            t2 = time.perf_counter()
+            img = self.render()
+            t3 = time.perf_counter()
         self.frame += 1
         self.stats.add(
             FramePerfStats(
