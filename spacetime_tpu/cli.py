@@ -66,13 +66,16 @@ def main(argv=None) -> int:
     if args.out:
         from .utils.framesink import FrameSink
 
-        sink = FrameSink(args.out, cfg.width, cfg.height)
-
         def on_frame(i, img):
+            nonlocal sink
             if i % args.every == 0:
                 import numpy as np
 
-                sink.submit(i, np.asarray(img))
+                arr = np.asarray(img)
+                if sink is None:  # sized from the actual frame (retina
+                    # strips differ from the config's nominal W x H)
+                    sink = FrameSink(args.out, arr.shape[1], arr.shape[0])
+                sink.submit(i, arr)
 
     summary = eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
     if sink is not None:
