@@ -333,6 +333,15 @@ class Engine:
                     time.sleep(budget - elapsed)
         return self.stats.summary()
 
+    # -- diagnostics ---------------------------------------------------------
+
+    def conserved_quantities(self):
+        """Relativistic totals (momentum/energy/KE/bonds) — see
+        utils.diagnostics."""
+        from .utils import diagnostics
+
+        return diagnostics.totals(self.particles)
+
     # -- persistence --------------------------------------------------------
 
     def save_checkpoint(self, path: str) -> None:

@@ -107,3 +107,25 @@ def test_baseline_configs_constructible():
         assert cfg.width > 0 and cfg.history > 0
     with pytest.raises(KeyError):
         get_config("nope")
+
+
+def test_fused_frame_matches_unfused():
+    """The fused step+push+render program must produce the same frames as
+    the separate-dispatch path."""
+    cfg = _tiny_config(render_mode="retarded")
+    a = Engine(cfg)
+    b = Engine(cfg)
+    b.paused = False
+    imgs_a, imgs_b = [], []
+    for i in range(4):
+        imgs_a.append(np.asarray(a.run_frame()))  # fused (unpaused, no aloof)
+        # force the unfused path by toggling _can_fuse via steps_per_frame
+        b_can = b._can_fuse
+        b._can_fuse = lambda: False
+        imgs_b.append(np.asarray(b.run_frame()))
+        b._can_fuse = b_can
+    for x, y in zip(imgs_a, imgs_b):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.particles.pos), np.asarray(b.particles.pos), rtol=1e-6
+    )

@@ -160,3 +160,20 @@ def test_inactive_padding_is_frozen():
     p2, _ = model.step(p)
     np.testing.assert_array_equal(np.asarray(p2.pos[1:]), np.asarray(p.pos[1:]))
     np.testing.assert_array_equal(np.asarray(p2.vel[1:]), np.asarray(p.vel[1:]))
+
+
+def test_diagnostics_totals():
+    from spacetime_tpu.utils import diagnostics
+
+    sb = scene.SceneBuilder()
+    sb.add(scene.disc_softbody(3, 0, (0.0, 0.0), (0.6, 0.0)))
+    particles, _ = sb.build(capacity=256)
+    t = diagnostics.totals(particles)
+    n = int(np.asarray(particles.num_active()))
+    g = 1.25  # gamma(0.6)
+    np.testing.assert_allclose(float(t.rest_mass), n, rtol=1e-6)
+    np.testing.assert_allclose(float(t.energy), n * g, rtol=1e-5)
+    np.testing.assert_allclose(float(t.kinetic), n * (g - 1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t.momentum), [n * g * 0.6, 0.0], rtol=1e-5)
+    np.testing.assert_allclose(float(t.max_speed), 0.6, rtol=1e-6)
+    assert int(t.n_bonds) > 0
