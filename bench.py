@@ -43,8 +43,13 @@ def build():
     )
     particles, objects = sb.build()
     model = SoftbodyModel(capacity=particles.capacity)
+    # prefill the FULL history so the renderer sees a fully-lit light cone —
+    # an empty ring would make the render trivially cheap (and wrong to bench)
     buf = wl.create(history, particles.capacity)
-    buf = wl.push_frame(buf, particles, 0.0)
+    buf = wl.prefill_inertial(
+        buf, particles.pos, particles.vel, particles.active,
+        jnp.float32(0.0), jnp.float32(model.params.h),
+    )
     cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
     params = raytrace.RenderParams(
         dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=48

@@ -768,8 +768,7 @@ def _instant_pairs(buf, obj_index, objects, params: RenderParams):
     )
 
 
-def _retina(pairs: PairData, cam, t_now, params: RenderParams,
-            dense_prefix: bool = False):
+def _retina(pairs: PairData, cam, t_now, params: RenderParams):
     """First hit per angle over ALL pairs (dense chunked broadcast);
     returns s_first (num_rays,) packed also as (num_rays, 8) rows for
     row-gather lookups."""
@@ -789,27 +788,22 @@ def _retina(pairs: PairData, cam, t_now, params: RenderParams,
 
     cok = jnp.pad(pairs.pair_valid, (0, pad)).reshape(n_chunks, chunk)
 
-    cax, cay = col(_F_AX), col(_F_AY)
-    cbx, cby = col(_F_BX), col(_F_BY)
-    cta = col(_F_TA)
-
-    def ray_chunk_step(c, s_min):
+    def ray_chunk_step(s_min, args):
+        ax, ay, bx, by, t_, ok = args
         hit, s_hit = _ray_hit_xy(
             cam.pos[0], cam.pos[1], dhx[:, None], dhy[:, None],
-            cax[c][None], cay[c][None], cbx[c][None], cby[c][None],
-            cta[c][None], t_now, dt, rho,
+            ax[None], ay[None], bx[None], by[None], t_[None],
+            t_now, dt, rho,
         )
-        s_hit = jnp.where(hit & cok[c][None, :], s_hit, _BIG)
-        return jnp.minimum(s_min, jnp.min(s_hit, axis=1))
+        s_hit = jnp.where(hit & ok[None, :], s_hit, _BIG)
+        return jnp.minimum(s_min, jnp.min(s_hit, axis=1)), None
 
-    # A dynamic trip count is only sound when valid pairs form a dense
-    # prefix (i.e. the budget compaction ran); otherwise scan every chunk.
-    if dense_prefix:
-        n_live = jnp.minimum((pairs.n_pairs + chunk - 1) // chunk, n_chunks)
-    else:
-        n_live = n_chunks
-    s_first = jax.lax.fori_loop(
-        0, n_live, ray_chunk_step, jnp.full((n_rays,), _BIG)
+    # NOTE: static trip count on purpose.  A traced-bound fori_loop here
+    # compiles to a while loop that destroys the fused pipeline (measured
+    # ~40x slower at full history); the scan over the static budget is fast.
+    s_first, _ = jax.lax.scan(
+        ray_chunk_step, jnp.full((n_rays,), _BIG),
+        (col(_F_AX), col(_F_AY), col(_F_BX), col(_F_BY), col(_F_TA), cok),
     )
     return s_first
 
@@ -1011,8 +1005,7 @@ def _render_retarded_impl(
     use_rays = params.opaque and params.retarded
     n_rays = params.num_rays
     if use_rays:
-        compacted = 0 < params.pair_budget < buf.num_particles * params.band
-        s_first = _retina(pairs, cam, t_now, params, dense_prefix=compacted)
+        s_first = _retina(pairs, cam, t_now, params)
     else:
         s_first = jnp.full((n_rays,), _BIG)
     s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
