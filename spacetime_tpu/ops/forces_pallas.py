@@ -242,10 +242,13 @@ def collision_forces_pallas(
     if static is None:
         static = prepare_static(order, neighbors, tile, wmax)
 
-    px, py = pos[:, 0], pos[:, 1]
     sidx = order.sorted_idx
-    srt_x = jnp.where(order.srt_id >= 0, px[sidx], _BIGPOS)
-    srt_y = jnp.where(order.srt_id >= 0, py[sidx], _BIGPOS)
+    # one 8-wide ROW gather instead of two scalar gathers (~2 ms at 116k)
+    rows = jnp.zeros((n, 8), pos.dtype).at[:, 0].set(pos[:, 0]).at[:, 1].set(pos[:, 1])
+    g = rows[sidx]
+    live = order.srt_id >= 0
+    srt_x = jnp.where(live, g[:, 0], _BIGPOS)
+    srt_y = jnp.where(live, g[:, 1], _BIGPOS)
     # pad so any window [chunk_start, chunk_start + wmax) is in bounds and
     # the total length is CHUNK-aligned
     pad = wmax + (-(n + wmax) % CHUNK)
@@ -303,7 +306,8 @@ def collision_forces_pallas(
         srt_y_p.reshape(-1, _SUB, _LANE),
         srt_id_p,
     )
-    # scatter sorted-order forces back to particle order
+    # scatter sorted-order forces back to particle order (scalar scatters;
+    # a row-packed scatter was tried and measured slower — lane padding)
     fx = jnp.zeros((n,), jnp.float32).at[sidx].set(fx_s.reshape(-1)[:n])
     fy = jnp.zeros((n,), jnp.float32).at[sidx].set(fy_s.reshape(-1)[:n])
     return jnp.stack([fx, fy], axis=-1)
