@@ -51,11 +51,12 @@ def build():
         jnp.float32(0.0), jnp.float32(model.params.h),
     )
     cam = Camera.create(pos=(0.7, 0.5), zoom=1.2)
+    # cell_px=16 (vs the minimal 9) trades more candidate tests for Pallas
+    # kernel layouts that tile exactly: k2=256 sublanes, 120 cells/row on one
+    # 128-lane grid step (see ops/render_pallas.py); bin_dropped stays 0
     params = raytrace.RenderParams(
-        dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=48
-    )
-    params = dataclasses.replace(
-        params, cell_px=raytrace.auto_cell_px(params, width, height, 1.2)
+        dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=64,
+        cell_px=16,
     )
 
     def frame(particles, buf, cam, t):

@@ -95,6 +95,9 @@ class RenderParams:
     cells_per_block: int = 512  # view cells per lax.map block (bounds HBM)
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
+    # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on
+    # CPU; "pallas" / "pallas_interpret" / "xla" force a choice
+    backend: str = "auto"
     doppler: bool = True
     beaming: bool = True
     doppler_strength: float = 1.0
@@ -284,6 +287,64 @@ class ViewTables(NamedTuple):
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
+def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams):
+    """Find each particle's cone-crossing tick band and fetch its window.
+
+    Returns (a0, hi0, truncated, (wx, wy, wvx, wvy, ages)) where the window
+    arrays are (N, band+1) ticks covering ages [a0-1, a0+band-1].
+
+    Search: ONE DENSE sweep over the (N, T) age block — f(age) =
+    route(pos(age)) - age*dt evaluated on two contiguous column slices of the
+    mirrored (N, 2T) planes, then a masked min/max reduction.  This replaces
+    the round-1 binary search (log2 T rounds of 2 scalar gathers each): the
+    flat gathers lowered to a serialized ~13 ns/element path (traced), while
+    the dense sweep streams at HBM speed (~0.15 ms for 16k x 1024 vs ~1.5 ms).
+
+    Window fetch: flat (N, band+1) element gather.  (A row-pair gather via
+    plane.reshape(-1, 8) was tried and REVERTED: the reshape changes the
+    (8, 128) tile layout of the 21M-element plane, costing a 2.2 ms physical
+    relayout + 1.8 ms copy PER PLANE — 16 ms/frame total, traced.)
+    """
+    dt, rho, band = params.dt, params.rho, params.band
+    t_cap = buf.capacity
+    n = buf.num_particles
+    thresh = rho + dt
+    base_col = buf.cursor + t_cap  # mirrored column of age 0
+    hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
+
+    # --- dense cone sweep: columns [cursor+1, cursor+T] hold ages T-1..0 ---
+    sx = jax.lax.dynamic_slice(buf.pos_x, (0, buf.cursor + 1), (n, t_cap))
+    sy = jax.lax.dynamic_slice(buf.pos_y, (0, buf.cursor + 1), (n, t_cap))
+    age_row = jnp.arange(t_cap - 1, -1, -1, dtype=jnp.int32)[None, :]
+    f = route_lengths(sx, sy) - age_row.astype(jnp.float32) * dt
+    in_range = (age_row >= 1) & (age_row <= hi0)
+    enter = (f <= thresh) & in_range
+    a0 = jnp.min(jnp.where(enter, age_row, hi0 + 1), axis=1)
+    # oldest still-crossing age (for band-truncation diagnostics)
+    crossing = enter & (f >= -thresh)
+    a_last = jnp.max(jnp.where(crossing, age_row, -1), axis=1)
+    truncated = jnp.sum((a_last >= a0 + band).astype(jnp.int32))
+
+    # --- window fetch: ages [a0+band-1 .. a0-1] as ascending columns ---
+    w = band + 1
+    start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
+    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
+
+    widx = (row0 + start_col)[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def window(plane):
+        return plane.reshape(-1)[widx]
+
+    wx = window(buf.pos_x)  # (N, band+1)
+    wy = window(buf.pos_y)
+    wvx = window(buf.vel_x)
+    wvy = window(buf.vel_y)
+    ages = base_col - (
+        start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+    )
+    return a0, hi0, truncated, (wx, wy, wvx, wvy, ages)
+
+
 def _band_pairs(
     buf: WorldlineBuffer,
     obj_index,
@@ -317,48 +378,9 @@ def _band_pairs(
     if route_lengths is None:
         route_lengths = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
 
-    flat_x = buf.pos_x.reshape(-1)
-    flat_y = buf.pos_y.reshape(-1)
-    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
-    base_col = buf.cursor + t_cap  # mirrored column of age 0
-
-    thresh = rho + dt
-
-    def f_at(a):  # a (N,) i32 age
-        idx = row0 + (base_col - a)
-        r = route_lengths(flat_x[idx], flat_y[idx])
-        return r - a.astype(jnp.float32) * dt
-
-    hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
-    lo = jnp.ones((n,), jnp.int32)
-    hi = jnp.full((n,), 1, jnp.int32) * hi0
-    n_iters = max(1, (t_cap - 1).bit_length())
-    for _ in range(n_iters):
-        mid = (lo + hi) // 2
-        go = f_at(mid) > thresh
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    a0 = lo  # smallest age with f <= thresh (hi0 + 1 if none)
-
-    # contiguous window of band+1 ticks: columns ascend as ages DESCEND
-    start_col = jnp.clip(
-        base_col - (a0 + band - 1), 0, 2 * t_cap - (band + 1)
+    a0, hi0, truncated, (wx, wy, wvx, wvy, ages) = _cone_band_window(
+        buf, route_lengths, params
     )
-
-    # flat-index window gather: a vmapped dynamic_slice lowers to N separate
-    # serialized dynamic-slice ops on TPU (measured ~60 ms/frame); a flat
-    # gather of (N, band+1) indices is ~1 ms
-    widx = (row0 + start_col)[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
-
-    def window(plane):
-        return plane.reshape(-1)[widx]
-
-    wx = window(buf.pos_x)  # (N, band+1)
-    wy = window(buf.pos_y)
-    wvx = window(buf.vel_x)
-    wvy = window(buf.vel_y)
-    cols = start_col[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
-    ages = base_col - cols  # (N, band+1); age of each window column
 
     # segment j: older endpoint = window[:, j] (age a_j), younger = [:, j+1]
     qax, qay = wx[:, :band], wy[:, :band]
@@ -406,13 +428,6 @@ def _band_pairs(
             col(0), col(1), col(2),
         ],
         axis=-1,
-    )
-    # a particle's crossing outlasts the band if the segment one past the
-    # oldest band member would still be annulus-valid
-    f_past = f_at(jnp.minimum(a0 + band, hi0))
-    truncated = jnp.sum(
-        ((f_past <= thresh) & (f_at(jnp.minimum(a0 + band, hi0)) >= -thresh)
-         & (a0 + band <= hi0)).astype(jnp.int32)
     )
     return PairData(
         pdata=pdata,
@@ -470,12 +485,12 @@ def _view_grid(width, height, cam, k):
     return wc_img, hc_img, pixel_size, x0, y0
 
 
-def _build_view_tables(
+def _splat_vslot(
     pairs: PairData, cam, width: int, height: int, params: RenderParams
 ):
-    """Splat compacted pairs into the (view cells + 1 halo) grid, then
-    densify: one scatter of pair ids + one row gather of pair data.
-    Returns (ViewTables, bin_dropped, cell_too_small, geometry)."""
+    """Splat compacted pairs into the (view cells + 1 halo) grid and return
+    the per-cell candidate id table: (vslot (hc_img, wc_img, cap) i32 with -1
+    for empty, bin_dropped, cell_too_small, geometry)."""
     k = params.cell_px
     cap = params.bin_capacity
     pcap = pairs.pdata.shape[0]
@@ -528,12 +543,30 @@ def _build_view_tables(
     fits = (skey < n_vcells) & (rank < cap)
     dump = n_vcells * cap
     slot = jnp.where(fits, skey * cap + rank, dump)
+    # id scatter + row gather.  (A direct .at[slot].set of the 10-float pair
+    # rows was tried and REVERTED: the row scatter serialized at ~13 ms/frame
+    # traced; the id scatter + row-gather pair runs at ~3 ms.)
     vslot = jnp.full((n_vcells * cap + 1,), -1, jnp.int32)
     vslot = vslot.at[slot].set(sval)
     vslot = vslot.at[dump].set(-1)
     bin_dropped = jnp.sum(((skey < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
+    cell_too_small = lam < params.reach
+    geom = (wc_img, hc_img, pixel_size, x0, y0)
+    return vslot, bin_dropped, cell_too_small, geom
+
+
+def _build_view_tables(
+    pairs: PairData, cam, width: int, height: int, params: RenderParams
+):
+    """XLA block-map layout: densify the splat by one row gather of pair data.
+    Returns (ViewTables, bin_dropped, cell_too_small, geometry)."""
+    cap = params.bin_capacity
+    vslot, bin_dropped, cell_too_small, geom = _splat_vslot(
+        pairs, cam, width, height, params
+    )
+    wc_img, hc_img = geom[0], geom[1]
     vok = vslot >= 0
     vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, 10) row gather
 
@@ -545,9 +578,23 @@ def _build_view_tables(
     pad = n_blocks * cb - n_img_cells
     vdat = jnp.pad(vdat, ((0, pad), (0, 0), (0, 0)))
     vok = jnp.pad(vok, ((0, pad), (0, 0)))
-    cell_too_small = lam < params.reach
-    geom = (wc_img, hc_img, pixel_size, x0, y0)
     return ViewTables(vdat=vdat, vok=vok, n_img_cells=n_img_cells), bin_dropped, cell_too_small, geom
+
+
+def _vdat_cell_major(pairs: PairData, vslot, wc_img: int, hc_img: int, cap: int):
+    """Pallas-kernel layout: (10, cap, hc_img * wcp) with cells padded
+    row-major to wgroups*128 lanes; empty slots hold the far sentinel so they
+    self-exclude in the kernel's dist2 test.  Returns (vdat_t, wgroups)."""
+    wgroups = -(-wc_img // 128)
+    wcp = wgroups * 128
+    vs = jnp.pad(
+        vslot, ((0, 0), (0, wcp - wc_img), (0, 0)), constant_values=-1
+    )  # (hc, wcp, cap)
+    vs_t = jnp.moveaxis(vs, 2, 0).reshape(cap, hc_img * wcp)
+    rows = pairs.pdata[jnp.maximum(vs_t, 0)]  # (cap, cells, 10) row gather
+    rows = jnp.where(vs_t[..., None] >= 0, rows, 2.0e9)
+    vdat_t = rows.transpose(2, 0, 1)  # (10, cap, cells)
+    return vdat_t, wgroups
 
 
 def _cell_pixel_coords(width, height, cam, params: RenderParams):
@@ -915,37 +962,12 @@ def _render_retina_impl(buf, obj_index, objects, cam, params, height, planar):
 def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     """Band pairs without view-rect culling (retina sees all directions)."""
     dt, rho, band = params.dt, params.rho, params.band
-    t_cap = buf.capacity
     n = buf.num_particles
     cxm, cym = cam.pos[0], cam.pos[1]
     route = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
-
-    flat_x = buf.pos_x.reshape(-1)
-    flat_y = buf.pos_y.reshape(-1)
-    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
-    base_col = buf.cursor + t_cap
-    thresh = rho + dt
-
-    def f_at(a):
-        idx = row0 + (base_col - a)
-        return route(flat_x[idx], flat_y[idx]) - a.astype(jnp.float32) * dt
-
-    hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
-    lo = jnp.ones((n,), jnp.int32)
-    hi = jnp.full((n,), 1, jnp.int32) * hi0
-    for _ in range(max(1, (t_cap - 1).bit_length())):
-        mid = (lo + hi) // 2
-        go = f_at(mid) > thresh
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    a0 = lo
-    start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - (band + 1))
-    widx = (row0 + start_col)[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
-    window = lambda plane: plane.reshape(-1)[widx]
-    wx, wy = window(buf.pos_x), window(buf.pos_y)
-    wvx, wvy = window(buf.vel_x), window(buf.vel_y)
-    cols = start_col[:, None] + jnp.arange(band + 1, dtype=jnp.int32)[None, :]
-    ages = base_col - cols
+    _a0, hi0, _trunc, (wx, wy, wvx, wvy, ages) = _cone_band_window(
+        buf, route, params
+    )
     qax, qay = wx[:, :band], wy[:, :band]
     qbx, qby = wx[:, 1:], wy[:, 1:]
     pvx, pvy = wvx[:, :band], wvy[:, :band]
@@ -976,6 +998,75 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     )
 
 
+def _resolve_backend(params: RenderParams):
+    """Map params.backend to (path, interpret): Pallas kernel on TPU-class
+    backends, XLA block map on CPU (Pallas interpret mode is test-only)."""
+    b = params.backend
+    if b == "auto":
+        return ("pallas" if jax.default_backend() != "cpu" else "xla"), False
+    if b == "pallas_interpret":
+        return "pallas", True
+    return b, False
+
+
+def _pixel_pass_pallas_path(
+    pairs: PairData, cam, t_now, width: int, height: int,
+    params: RenderParams, use_rays: bool, planar: bool, interpret: bool,
+):
+    """Fused Pallas pixel pass: splat -> cell-major candidate planes ->
+    one kernel for occupancy/winner/shading/occlusion/composition.
+    Returns (image, bin_dropped, cell_too_small)."""
+    from . import render_pallas as rp
+
+    k = params.cell_px
+    k2 = k * k
+    cap = params.bin_capacity
+    vslot, bin_dropped, cell_too_small, geom = _splat_vslot(
+        pairs, cam, width, height, params
+    )
+    wc_img, hc_img, pixel_size, x0, y0 = geom
+    vdat_t, wgroups = _vdat_cell_major(pairs, vslot, wc_img, hc_img, cap)
+    wcp = wgroups * 128
+    cxm, cym = cam.pos[0], cam.pos[1]
+
+    if use_rays:
+        s_first = _retina(pairs, cam, t_now, params)
+        n_rays = params.num_rays
+        # per-pixel retina lookup in (hc, k2, wcp) kernel order
+        col = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 2)
+        p = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 0)
+        gx = col * k + p % k
+        gy = row * k + p // k
+        pxw = x0 + gx.astype(jnp.float32) * pixel_size
+        pyw = y0 + gy.astype(jnp.float32) * pixel_size
+        phi_p = jnp.arctan2(pyw - cym, pxw - cxm)
+        ray_of_pix = jnp.clip(
+            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+            0, n_rays - 1,
+        )
+        s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
+        sfpx = s_first_rows[ray_of_pix][..., 0]
+    else:
+        sfpx = jnp.zeros((hc_img, k2, wcp), jnp.float32)
+
+    scal = jnp.stack(
+        [t_now, cxm, cym, cam.vel[0], cam.vel[1], x0, y0, pixel_size]
+    ).astype(jnp.float32)
+    out = rp.pixel_pass_pallas(
+        vdat_t, sfpx, scal,
+        k=k, cap=cap, hc=hc_img, wgroups=wgroups,
+        use_rays=use_rays, retarded=params.retarded,
+        doppler=params.doppler, beaming=params.beaming,
+        rho=params.rho, dt=params.dt,
+        doppler_strength=params.doppler_strength, ambient=params.ambient,
+        absorbed_dim=params.absorbed_dim, shadow=params.shadow,
+        interpret=interpret,
+    )
+    img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
+    return img, bin_dropped, cell_too_small
+
+
 def _render_retarded_impl(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
@@ -997,40 +1088,56 @@ def _render_retarded_impl(
     else:
         pairs = _instant_pairs(buf, obj_index, objects, params)
         band_truncated = jnp.int32(0)
+
+    use_rays = params.opaque and params.retarded
+    backend, interpret = _resolve_backend(params)
+    if backend == "pallas":
+        img, bin_dropped, cell_too_small = _pixel_pass_pallas_path(
+            pairs, cam, t_now, width, height, params, use_rays, planar,
+            interpret,
+        )
+        diag = RenderDiag(
+            pairs_used=pairs.n_pairs,
+            band_truncated=band_truncated,
+            bin_dropped=bin_dropped,
+            cell_too_small=cell_too_small,
+        )
+        return img, diag
+
     tables, bin_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _x0, _y0 = geom
 
-    use_rays = params.opaque and params.retarded
     n_rays = params.num_rays
-    if use_rays:
-        s_first = _retina(pairs, cam, t_now, params)
-    else:
-        s_first = jnp.full((n_rays,), _BIG)
-    s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
-
     pxs, pys = _cell_pixel_coords(width, height, cam, params)
     cb = params.cells_per_block
     n_blocks = pxs.shape[0] // cb
     cxm, cym = cam.pos[0], cam.pos[1]
 
+    if use_rays:
+        s_first = _retina(pairs, cam, t_now, params)
+        # ONE global per-pixel retina lookup, hoisted out of the block map
+        # (the round-1 per-block gather re-paid a relayout copy per block:
+        # ~3.7 ms/frame traced).  Row gather is the fast class; a scalar
+        # gather from the (num_rays,) table serialized at ~14 ms (traced).
+        phi_p = jnp.arctan2(pys - cym, pxs - cxm)
+        ray_of_pix = jnp.clip(
+            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+            0, n_rays - 1,
+        )
+        s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
+        s_first_px_all = s_first_rows[ray_of_pix][..., 0]
+    else:
+        s_first_px_all = jnp.full_like(pxs, _BIG)
+
     def block_fn(args):
-        vdat, vok, px, py = args
+        vdat, vok, px, py, s_first_px = args
         relx = px - cxm
         rely = py - cym
         r = jnp.sqrt(relx * relx + rely * rely)
         t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
         occupied, best = _occupancy_cells(px, py, t_e, vdat, vok, dt, rho)
-        if use_rays:
-            phi_p = jnp.arctan2(rely, relx)
-            ray_of_pix = jnp.clip(
-                jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
-                0, n_rays - 1,
-            )
-            s_first_px = s_first_rows[ray_of_pix][..., 0]
-        else:
-            s_first_px = jnp.full_like(r, _BIG)
         return _compose_cells(
             px, py, r, occupied, best, s_first_px, vdat, cam, params
         )
@@ -1040,6 +1147,7 @@ def _render_retarded_impl(
         tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
         pxs.reshape(n_blocks, cb, -1),
         pys.reshape(n_blocks, cb, -1),
+        s_first_px_all.reshape(n_blocks, cb, -1),
     )
     if n_blocks <= 1:
         crgb = block_fn(jax.tree.map(lambda a: a[0], args))[None]

@@ -1,0 +1,243 @@
+"""Pallas TPU kernel: fused per-pixel pass of the retarded-time renderer.
+
+Replaces the XLA `lax.map` over cell blocks in ops/raytrace.py (reference
+capability: the raytraced pixel shading the reference left as a stub at
+src/twoplusone/worldline/raytrace.glsl:11-21).  The XLA block map paid, per
+frame at 1080p (traced): ~1.5 ms of block slicing/stacking plumbing, ~0.8 ms
+of candidate-table relayout, and materialized every (cells, k2, cap)
+intermediate through HBM.  This kernel keeps the whole candidate loop in
+VMEM/registers and fuses occupancy, winner selection, Doppler/beaming
+shading, retina occlusion, and composition into one pass.
+
+Layout (cells-on-lanes):
+  * grid = (hc, wgroups): one step per 128 view cells of one cell-row.
+  * Pixel ops are (k2, 128) blocks: sublane = pixel-within-cell, lane = cell.
+  * vdat_t is (10, cap, n_cells_pad): per candidate j, field f, the slice
+    [f, j, :] is one (1, 128) sublane row broadcast over k2 pixel sublanes —
+    no gathers, no transposes in the hot loop.
+  * Winner selection is a running masked min (strict <, keeping the FIRST
+    minimum — same tie rule as the XLA path's cumsum==1 one-hot).
+  * Sentinel candidate rows (2e9) fail the dist2 test by construction, so
+    padding needs no separate validity plane.
+
+Output is "cell-major planar": (3, hc, k2, wcp); `assemble_cell_major`
+unpacks to the (3, H, W) image (one transpose outside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIGF = 3.0e38  # python float: kernels must not capture device constants
+
+# field order must match raytrace.PairData pdata columns
+_F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
+
+
+def _pixel_kernel(
+    scal_ref,  # SMEM (8,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, pixel_size
+    vdat_ref,  # VMEM (10, cap, 128)
+    sfpx_ref,  # VMEM (1, k2, 128) or None (x-ray / instantaneous)
+    out_ref,  # VMEM (3, 1, k2, 128)
+    *,
+    k: int,
+    cap: int,
+    wgroups: int,
+    use_rays: bool,
+    retarded: bool,
+    doppler: bool,
+    beaming: bool,
+    rho: float,
+    dt: float,
+    doppler_strength: float,
+    ambient: float,
+    absorbed_dim: float,
+    shadow: float,
+):
+    r_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+    k2 = k * k
+    t_now = scal_ref[0]
+    cxm, cym = scal_ref[1], scal_ref[2]
+    cvx, cvy = scal_ref[3], scal_ref[4]
+    x0, y0 = scal_ref[5], scal_ref[6]
+    pixel_size = scal_ref[7]
+
+    # pixel world coords: sublane p = y_in*k + x_in, lane = cell col in group
+    p = jax.lax.broadcasted_iota(jnp.int32, (k2, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k2, 128), 1)
+    gx = (g_id * 128 + lane) * k + p % k
+    gy = r_id * k + p // k
+    pxw = x0 + gx.astype(jnp.float32) * pixel_size
+    pyw = y0 + gy.astype(jnp.float32) * pixel_size
+
+    relx = pxw - cxm
+    rely = pyw - cym
+    r = jnp.sqrt(relx * relx + rely * rely)
+    t_e = t_now - r if retarded else jnp.broadcast_to(t_now, r.shape)
+
+    inv_dt = jnp.float32(1.0 / dt)
+    rho2 = jnp.float32(rho * rho)
+
+    min_d = jnp.full((k2, 128), _BIGF, jnp.float32)
+    wvx = jnp.zeros((k2, 128), jnp.float32)
+    wvy = jnp.zeros((k2, 128), jnp.float32)
+    wcr = jnp.zeros((k2, 128), jnp.float32)
+    wcg = jnp.zeros((k2, 128), jnp.float32)
+    wcb = jnp.zeros((k2, 128), jnp.float32)
+
+    for j in range(cap):
+        f = lambda i: vdat_ref[i, j, :].reshape(1, 128)
+        ax, ay = f(_F_AX), f(_F_AY)
+        bx, by = f(_F_BX), f(_F_BY)
+        ta = f(_F_TA)
+        tau = (t_e - ta) * inv_dt
+        in_time = (tau >= -0.001) & (tau <= 1.001)
+        tau_c = jnp.clip(tau, 0.0, 1.0)
+        dx = pxw - (ax + tau_c * (bx - ax))
+        dy = pyw - (ay + tau_c * (by - ay))
+        dist2 = dx * dx + dy * dy
+        better = in_time & (dist2 <= rho2) & (dist2 < min_d)
+        min_d = jnp.where(better, dist2, min_d)
+        wvx = jnp.where(better, f(_F_VX), wvx)
+        wvy = jnp.where(better, f(_F_VY), wvy)
+        wcr = jnp.where(better, f(_F_CR), wcr)
+        wcg = jnp.where(better, f(_F_CG), wcg)
+        wcb = jnp.where(better, f(_F_CB), wcb)
+
+    occupied = min_d < _BIGF
+
+    # shading (mirrors raytrace.shade_channels / _compose_cells)
+    inv_r = 1.0 / jnp.maximum(r, 1e-12)
+    nx = (cxm - pxw) * inv_r
+    ny = (cym - pyw) * inv_r
+    if doppler or beaming:
+        c2 = jnp.float32(1.0)
+        v2s = wvx * wvx + wvy * wvy
+        gs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - v2s / c2, 1e-12))
+        d_src = 1.0 / (gs * (1.0 - (wvx * nx + wvy * ny) / c2))
+        v2c = cvx * cvx + cvy * cvy
+        gc = 1.0 / jnp.sqrt(jnp.maximum(1.0 - v2c / c2, 1e-12))
+        d_cam = gc * (1.0 - (cvx * nx + cvy * ny) / c2)
+        d = d_src * d_cam
+    else:
+        d = jnp.ones_like(r)
+    if doppler:
+        t = jnp.clip(
+            jnp.log2(jnp.maximum(d, 1e-6)) * jnp.float32(doppler_strength),
+            -2.5, 2.5,
+        )
+        hat = lambda x: jnp.maximum(0.0, 1.0 - jnp.abs(x))
+        outs = []
+        for i in range(3):
+            src = i - t
+            outs.append(hat(src) * wcr + hat(src - 1) * wcg + hat(src - 2) * wcb)
+        sr, sg, sb = outs
+    else:
+        sr, sg, sb = wcr, wcg, wcb
+    if beaming:
+        boost = d * d * d
+        sr, sg, sb = sr * boost, sg * boost, sb * boost
+    amb = jnp.float32(ambient)
+    mix = lambda s, c: amb * c + (1.0 - amb) * jnp.clip(s, 0.0, 1.0)
+    sr, sg, sb = mix(sr, wcr), mix(sg, wcg), mix(sb, wcb)
+
+    if use_rays:
+        blocked = sfpx_ref[0] < (r - 2.0 * jnp.float32(rho))
+        dim = jnp.float32(absorbed_dim)
+        shd = jnp.float32(shadow)
+        compose = lambda s: jnp.where(
+            occupied,
+            jnp.where(blocked, s * dim, s),
+            jnp.where(blocked, shd, 1.0),
+        )
+    else:
+        compose = lambda s: jnp.where(occupied, s, 1.0)
+
+    out_ref[0, 0, :, :] = compose(sr)
+    out_ref[1, 0, :, :] = compose(sg)
+    out_ref[2, 0, :, :] = compose(sb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "cap", "hc", "wgroups", "use_rays", "retarded", "doppler",
+        "beaming", "rho", "dt", "doppler_strength", "ambient", "absorbed_dim",
+        "shadow", "interpret",
+    ),
+)
+def pixel_pass_pallas(
+    vdat_t: jax.Array,  # (10, cap, hc*wgroups*128) f32
+    sfpx: jax.Array,  # (hc, k2, wgroups*128) f32 (ignored unless use_rays)
+    scal: jax.Array,  # (8,) f32
+    *,
+    k: int,
+    cap: int,
+    hc: int,
+    wgroups: int,
+    use_rays: bool,
+    retarded: bool,
+    doppler: bool,
+    beaming: bool,
+    rho: float,
+    dt: float,
+    doppler_strength: float,
+    ambient: float,
+    absorbed_dim: float,
+    shadow: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns the cell-major planar image (3, hc, k2, wgroups*128)."""
+    k2 = k * k
+    kernel = functools.partial(
+        _pixel_kernel,
+        k=k, cap=cap, wgroups=wgroups, use_rays=use_rays, retarded=retarded,
+        doppler=doppler, beaming=beaming, rho=rho, dt=dt,
+        doppler_strength=doppler_strength, ambient=ambient,
+        absorbed_dim=absorbed_dim, shadow=shadow,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+        pl.BlockSpec((10, cap, 128), lambda r, g: (0, 0, r * wgroups + g)),
+    ]
+    operands = [scal, vdat_t]
+    if use_rays:
+        in_specs.append(pl.BlockSpec((1, k2, 128), lambda r, g: (r, 0, g)))
+        operands.append(sfpx)
+    else:
+        kernel = functools.partial(kernel)
+
+    def wrapped(*refs):
+        if use_rays:
+            scal_ref, vdat_ref, sfpx_ref, out_ref = refs
+        else:
+            scal_ref, vdat_ref, out_ref = refs
+            sfpx_ref = None
+        kernel(scal_ref, vdat_ref, sfpx_ref, out_ref)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(hc, wgroups),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, 1, k2, 128), lambda r, g: (0, r, 0, g)),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, hc, k2, wgroups * 128), jnp.float32
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def assemble_cell_major(out, width, height, k, wc_img, planar):
+    """(3, hc, k2, wcp) cell-major planar -> (3, H, W) or (H, W, 3)."""
+    three, hc, k2, wcp = out.shape
+    img = out.reshape(3, hc, k, k, wcp)[:, :, :, :, :wc_img]
+    img = img.transpose(0, 1, 2, 4, 3).reshape(3, hc * k, wc_img * k)
+    img = img[:, :height, :width]
+    return img if planar else img.transpose(1, 2, 0)
