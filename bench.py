@@ -56,7 +56,7 @@ def build():
     # 128-lane grid step (see ops/render_pallas.py); bin_dropped stays 0
     params = raytrace.RenderParams(
         dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=64,
-        cell_px=16,
+        cell_px=16, occlusion_downsample=2, ray_chunk=8192,
     )
 
     def frame(particles, buf, cam, t):

@@ -98,6 +98,14 @@ class RenderParams:
     # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on
     # CPU; "pallas" / "pallas_interpret" / "xla" force a choice
     backend: str = "auto"
+    # occlusion retina lookup granularity: 1 = per pixel (exact); d = one
+    # lookup per d x d pixel quad (at the quad center angle — the radial
+    # blocked test stays per-pixel exact).  The per-pixel row gather is the
+    # single most expensive render op at 1080p (~4 ms traced); d=2 quarters
+    # it for <= 1 px of angular shadow-edge jitter (the 4096-ray retina
+    # itself quantizes edges to ~1.6 px at screen edge).  Ignored unless it
+    # divides cell_px.
+    occlusion_downsample: int = 1
     doppler: bool = True
     beaming: bool = True
     doppler_strength: float = 1.0
@@ -998,6 +1006,25 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     )
 
 
+def _occlusion_ds(params: RenderParams) -> int:
+    ds = max(1, params.occlusion_downsample)
+    return ds if params.cell_px % ds == 0 else 1
+
+
+def _sfirst_lookup(s_first, gxq, gyq, x0, y0, pixel_size, cam, n_rays, off):
+    """Retina value at the pixel/quad-center angles given by integer pixel
+    coords (gxq, gyq) + half-quad offset `off` (row gather — the fast class)."""
+    pxw = x0 + (gxq.astype(jnp.float32) + off) * pixel_size
+    pyw = y0 + (gyq.astype(jnp.float32) + off) * pixel_size
+    phi = jnp.arctan2(pyw - cam.pos[1], pxw - cam.pos[0])
+    ri = jnp.clip(
+        jnp.floor((phi + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+        0, n_rays - 1,
+    )
+    rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
+    return rows[ri][..., 0]
+
+
 def _resolve_backend(params: RenderParams):
     """Map params.backend to (path, interpret): Pallas kernel on TPU-class
     backends, XLA block map on CPU (Pallas interpret mode is test-only)."""
@@ -1032,21 +1059,24 @@ def _pixel_pass_pallas_path(
     if use_rays:
         s_first = _retina(pairs, cam, t_now, params)
         n_rays = params.num_rays
-        # per-pixel retina lookup in (hc, k2, wcp) kernel order
-        col = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 2)
-        p = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2, wcp), 0)
-        gx = col * k + p % k
-        gy = row * k + p // k
-        pxw = x0 + gx.astype(jnp.float32) * pixel_size
-        pyw = y0 + gy.astype(jnp.float32) * pixel_size
-        phi_p = jnp.arctan2(pyw - cym, pxw - cxm)
-        ray_of_pix = jnp.clip(
-            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
-            0, n_rays - 1,
+        ds = _occlusion_ds(params)
+        kq = k // ds
+        k2q = kq * kq
+        # retina lookup at quad centers, in (hc, k2q, wcp) kernel order
+        col = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 2)
+        p = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 0)
+        gx = col * k + (p % kq) * ds
+        gy = row * k + (p // kq) * ds
+        sfq = _sfirst_lookup(
+            s_first, gx, gy, x0, y0, pixel_size, cam, n_rays, (ds - 1) * 0.5
         )
-        s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
-        sfpx = s_first_rows[ray_of_pix][..., 0]
+        if ds > 1:
+            sfq = sfq.reshape(hc_img, kq, 1, kq, 1, wcp)
+            sfq = jnp.broadcast_to(
+                sfq, (hc_img, kq, ds, kq, ds, wcp)
+            ).reshape(hc_img, k2, wcp)
+        sfpx = sfq
     else:
         sfpx = jnp.zeros((hc_img, k2, wcp), jnp.float32)
 
@@ -1117,17 +1147,29 @@ def _render_retarded_impl(
 
     if use_rays:
         s_first = _retina(pairs, cam, t_now, params)
-        # ONE global per-pixel retina lookup, hoisted out of the block map
-        # (the round-1 per-block gather re-paid a relayout copy per block:
+        # ONE global retina lookup, hoisted out of the block map (the
+        # round-1 per-block gather re-paid a relayout copy per block:
         # ~3.7 ms/frame traced).  Row gather is the fast class; a scalar
         # gather from the (num_rays,) table serialized at ~14 ms (traced).
-        phi_p = jnp.arctan2(pys - cym, pxs - cxm)
-        ray_of_pix = jnp.clip(
-            jnp.floor((phi_p + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
-            0, n_rays - 1,
+        k = params.cell_px
+        ds = _occlusion_ds(params)
+        kq = k // ds
+        k2q = kq * kq
+        n_cells_pad = pxs.shape[0]
+        _wc, _hc, ps_, x0_, y0_ = _view_grid(width, height, cam, k)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n_cells_pad, k2q), 0)
+        pj = jax.lax.broadcasted_iota(jnp.int32, (n_cells_pad, k2q), 1)
+        gx = (ci % _wc) * k + (pj % kq) * ds
+        gy = (ci // _wc) * k + (pj // kq) * ds
+        sfq = _sfirst_lookup(
+            s_first, gx, gy, x0_, y0_, ps_, cam, n_rays, (ds - 1) * 0.5
         )
-        s_first_rows = jnp.broadcast_to(s_first[:, None], (n_rays, 8))
-        s_first_px_all = s_first_rows[ray_of_pix][..., 0]
+        if ds > 1:
+            sfq = sfq.reshape(n_cells_pad, kq, 1, kq, 1)
+            sfq = jnp.broadcast_to(
+                sfq, (n_cells_pad, kq, ds, kq, ds)
+            ).reshape(n_cells_pad, k * k)
+        s_first_px_all = sfq
     else:
         s_first_px_all = jnp.full_like(pxs, _BIG)
 
