@@ -106,6 +106,12 @@ class RenderParams:
     # itself quantizes edges to ~1.6 px at screen edge).  Ignored unless it
     # divides cell_px.
     occlusion_downsample: int = 1
+    # cells each candidate splats into: 9 (3x3 around the center cell —
+    # always exact) or 4 (nearest-corner 2x2 — exact iff reach <= cell/2,
+    # i.e. a capsule never extends past the adjacent cell; RenderDiag's
+    # cell_too_small flags violations).  4 nearly halves the binning
+    # sort/scatter volume at reference demo scale.
+    splat_cells: int = 9
     doppler: bool = True
     beaming: bool = True
     doppler_strength: float = 1.0
@@ -308,10 +314,14 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     flat gathers lowered to a serialized ~13 ns/element path (traced), while
     the dense sweep streams at HBM speed (~0.15 ms for 16k x 1024 vs ~1.5 ms).
 
-    Window fetch: flat (N, band+1) element gather.  (A row-pair gather via
-    plane.reshape(-1, 8) was tried and REVERTED: the reshape changes the
-    (8, 128) tile layout of the 21M-element plane, costing a 2.2 ms physical
-    relayout + 1.8 ms copy PER PLANE — 16 ms/frame total, traced.)
+    Window fetch: MASKED-REDUCE extraction from the same dense slices —
+    wx[:, j] = sum_t s[:, t] * (t == c0 + j) — instead of a flat element
+    gather.  The flat gather serialized at ~11 ns/element (9.2 ms PER PLANE
+    at the 116k reference demo scale, traced); the w extractions fuse into a
+    few streaming passes over data the sweep already touches.  (A row-pair
+    gather via plane.reshape(-1, 8) was also tried and REVERTED: the reshape
+    changes the (8, 128) tile layout of the 21M-element plane — 16 ms/frame
+    of relayout copies, traced.)
     """
     dt, rho, band = params.dt, params.rho, params.band
     t_cap = buf.capacity
@@ -336,17 +346,24 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     # --- window fetch: ages [a0+band-1 .. a0-1] as ascending columns ---
     w = band + 1
     start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
-    row0 = jnp.arange(n, dtype=jnp.int32) * (2 * t_cap)
+    # window column j (mirrored coords start_col + j) sits at slice column
+    # c0 + j; columns outside the slice (clipped starts / age >= T / age < 0)
+    # extract as 0 and are masked by the age-range validity downstream
+    c0 = start_col - (buf.cursor + 1)  # (N,)
+    rel = jnp.arange(t_cap, dtype=jnp.int32)[None, :] - c0[:, None]  # (N, T)
 
-    widx = (row0 + start_col)[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+    def window(s):  # (N, T) dense slice -> (N, w)
+        return jnp.stack(
+            [jnp.sum(jnp.where(rel == j, s, 0.0), axis=1) for j in range(w)],
+            axis=1,
+        )
 
-    def window(plane):
-        return plane.reshape(-1)[widx]
-
-    wx = window(buf.pos_x)  # (N, band+1)
-    wy = window(buf.pos_y)
-    wvx = window(buf.vel_x)
-    wvy = window(buf.vel_y)
+    svx = jax.lax.dynamic_slice(buf.vel_x, (0, buf.cursor + 1), (n, t_cap))
+    svy = jax.lax.dynamic_slice(buf.vel_y, (0, buf.cursor + 1), (n, t_cap))
+    wx = window(sx)  # (N, band+1)
+    wy = window(sy)
+    wvx = window(svx)
+    wvy = window(svy)
     ages = base_col - (
         start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
     )
@@ -520,22 +537,31 @@ def _splat_vslot(
     cell_x = jnp.floor((cx - gx0) / lam).astype(jnp.int32)
     cell_y = jnp.floor((cy - gy0) / lam).astype(jnp.int32)
 
+    if params.splat_cells == 4:
+        # nearest-corner 2x2: offsets toward the in-cell fraction's side
+        fx = (cx - gx0) / lam - cell_x.astype(jnp.float32)
+        fy = (cy - gy0) / lam - cell_y.astype(jnp.float32)
+        sx_ = jnp.where(fx < 0.5, -1, 1)
+        sy_ = jnp.where(fy < 0.5, -1, 1)
+        offsets = [(0, 0), (sx_, 0), (0, sy_), (sx_, sy_)]
+    else:
+        offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    n_splat = len(offsets)
     keys = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            ccx = cell_x + dx
-            ccy = cell_y + dy
-            in_grid = (ccx >= 0) & (ccx < wc) & (ccy >= 0) & (ccy < hc)
-            lox = gx0 + ccx.astype(jnp.float32) * lam
-            loy = gy0 + ccy.astype(jnp.float32) * lam
-            nx_ = jnp.clip(cx, lox, lox + lam)
-            ny_ = jnp.clip(cy, loy, loy + lam)
-            d2 = (nx_ - cx) ** 2 + (ny_ - cy) ** 2
-            use = pairs.pair_valid & in_grid & (d2 <= (reach + 1e-6) ** 2)
-            keys.append(jnp.where(use, ccy * wc + ccx, n_vcells))
-    key = jnp.stack(keys, axis=1).reshape(-1)  # (pcap * 9,)
+    for dx, dy in offsets:
+        ccx = cell_x + dx
+        ccy = cell_y + dy
+        in_grid = (ccx >= 0) & (ccx < wc) & (ccy >= 0) & (ccy < hc)
+        lox = gx0 + ccx.astype(jnp.float32) * lam
+        loy = gy0 + ccy.astype(jnp.float32) * lam
+        nx_ = jnp.clip(cx, lox, lox + lam)
+        ny_ = jnp.clip(cy, loy, loy + lam)
+        d2 = (nx_ - cx) ** 2 + (ny_ - cy) ** 2
+        use = pairs.pair_valid & in_grid & (d2 <= (reach + 1e-6) ** 2)
+        keys.append(jnp.where(use, ccy * wc + ccx, n_vcells))
+    key = jnp.stack(keys, axis=1).reshape(-1)  # (pcap * n_splat,)
     val = jnp.broadcast_to(
-        jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, 9)
+        jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, n_splat)
     ).reshape(-1)
 
     skey, sval = jax.lax.sort_key_val(key, val)
@@ -560,7 +586,9 @@ def _splat_vslot(
     bin_dropped = jnp.sum(((skey < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
-    cell_too_small = lam < params.reach
+    # coverage constraint: 3x3 splat needs lam >= reach; 2x2 needs lam >= 2*reach
+    min_lam = params.reach * (2.0 if params.splat_cells == 4 else 1.0)
+    cell_too_small = lam < min_lam
     geom = (wc_img, hc_img, pixel_size, x0, y0)
     return vslot, bin_dropped, cell_too_small, geom
 
