@@ -33,16 +33,28 @@ def build():
     history = 1024
 
     sb = scene.SceneBuilder()
+    # lattice_pad: regular neighbor offsets -> shifted-slice springs (see
+    # ops/forces.spring_forces_shifted); costs ~1.25x capacity in dead slots
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(5000), 0, (0.35, 0.40), (0.25, 0.05)),
+        scene.disc_softbody(scene.radius_for_count(5000), 0, (0.35, 0.40), (0.25, 0.05),
+                            lattice_pad=True),
         base_color=(0.25, 0.35, 1.0),
     )
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(5000), 1, (1.05, 0.55), (-0.25, -0.05)),
+        scene.disc_softbody(scene.radius_for_count(5000), 1, (1.05, 0.55), (-0.25, -0.05),
+                            lattice_pad=True),
         base_color=(1.0, 0.3, 0.25),
     )
     particles, objects = sb.build()
-    model = SoftbodyModel(capacity=particles.capacity)
+    from spacetime_tpu.ops import forces as forces_ops
+    import numpy as _np
+
+    model = SoftbodyModel(
+        capacity=particles.capacity,
+        spring_offsets=forces_ops.derive_spring_offsets(
+            _np.asarray(particles.neighbors)
+        ),
+    )
     # prefill the FULL history so the renderer sees a fully-lit light cone —
     # an empty ring would make the render trivially cheap (and wrong to bench)
     buf = wl.create(history, particles.capacity)

@@ -71,7 +71,15 @@ class Engine:
         self.aloof_bodies = tuple(aloof_bodies)
         self.particles = particles
         self.objects = objects
-        self.model = SoftbodyModel(capacity=particles.capacity, params=config.physics)
+        from .ops import forces as forces_ops
+
+        spring_offsets = forces_ops.derive_spring_offsets(
+            np.asarray(particles.neighbors)
+        )
+        self.model = SoftbodyModel(
+            capacity=particles.capacity, params=config.physics,
+            spring_offsets=spring_offsets,
+        )
         self.worldline = wl.create(config.history, particles.capacity)
         self.camera = Camera.create(config.cam_pos, config.cam_zoom, config.cam_vel)
         self.controller = CameraController()

@@ -37,6 +37,10 @@ class SoftbodyModel:
     integrator: str = "rk4"
     # Pallas sorted-window collision kernel (TPU backends only); None = auto
     use_pallas: Optional[bool] = None
+    # per-slot neighbor index offsets (forces.derive_spring_offsets) — when
+    # set, springs and bond breaking read bonded positions by static shifted
+    # slices instead of row gathers (needs a lattice-padded scene layout)
+    spring_offsets: Optional[tuple] = None
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -61,6 +65,7 @@ class SoftbodyModel:
             self.cell_capacity,
             self.integrator,
             self.use_pallas,
+            self.spring_offsets,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -78,6 +83,7 @@ class SoftbodyModel:
                 self.cell_capacity,
                 self.integrator,
                 self.use_pallas,
+                self.spring_offsets,
             )
             return p, aux
 

@@ -133,6 +133,85 @@ def spring_forces_rows(
     return jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)
 
 
+def derive_spring_offsets(neighbors, max_offsets: int = 8):
+    """Distinct index offsets (nbr[i, s] - i) per bond slot, from the initial
+    neighbor table (host-side, numpy).
+
+    With a lattice-padded scene layout (scene.mask_to_softbody
+    lattice_pad=True) every slot has one constant offset per object
+    ({±1, ±W, ±W±1} for bbox width W), so bonded positions can be read by
+    static shifted slices instead of row gathers (whose 16x lane padding
+    traced at ~3 ms per force evaluation at reference demo scale).  Returns
+    a tuple of 8 offset tuples, or None when a slot has more than
+    `max_offsets` distinct values (irregular graph -> use the gather path).
+    Bond BREAKING only writes -1, so offsets derived at setup stay valid.
+    """
+    import numpy as np
+
+    nbr = np.asarray(neighbors)
+    n = nbr.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    out = []
+    for s in range(nbr.shape[1]):
+        col = nbr[:, s].astype(np.int64)
+        valid = col >= 0
+        d = np.unique(col[valid] - idx[valid])
+        if d.size > max_offsets:
+            return None
+        out.append(tuple(int(x) for x in d))
+    return tuple(out)
+
+
+def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k):
+    """Hooke springs with bonded positions read by static shifted slices —
+    zero gathers.  For each (slot s, offset d), the mask nbr[:, s] == i + d
+    selects exactly the particles whose slot-s bond is the +d shift; rolled
+    reads are only consumed under that mask, so wraparound lanes and
+    inactive 1e9 slots never contribute.  Equivalent to spring_forces_rows
+    (same formula, same per-slot rest lengths)."""
+    n = px.shape[0]
+    iota = jnp.arange(n, dtype=neighbors.dtype)
+    fx = jnp.zeros_like(px)
+    fy = jnp.zeros_like(py)
+    for s, ds in enumerate(offsets):
+        for d in ds:
+            sel = neighbors[:, s] == iota + d
+            dx = px - jnp.roll(px, -d)
+            dy = py - jnp.roll(py, -d)
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
+            mag = jnp.where(sel, -k * (dist - rest_lengths[s]) * inv, 0.0)
+            fx = fx + mag * dx
+            fy = fy + mag * dy
+    return fx, fy
+
+
+def bonded_repulsion_shifted(px, py, neighbors, offsets, collision_distance,
+                             repulsion):
+    """Repulsion contributed by BONDED neighbors, via shifted slices — the
+    exact formula the Pallas collision kernel uses per hit (rsqrt of dist2,
+    constant magnitude).  Subtracted from an exclude_bonds=False kernel run
+    to reproduce the reference's bonded-pair exclusion
+    (softbodyrk4.glsl:101-108) without the kernel's 8-compare inner loop."""
+    n = px.shape[0]
+    iota = jnp.arange(n, dtype=neighbors.dtype)
+    cd2 = collision_distance * collision_distance
+    fx = jnp.zeros_like(px)
+    fy = jnp.zeros_like(py)
+    for s, ds in enumerate(offsets):
+        for d in ds:
+            sel = neighbors[:, s] == iota + d
+            dx = px - jnp.roll(px, -d)
+            dy = py - jnp.roll(py, -d)
+            dist2 = dx * dx + dy * dy
+            hit = sel & (dist2 < cd2) & (dist2 > 0.0)
+            inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+            mag = jnp.where(hit, repulsion * inv, 0.0)
+            fx = fx + mag * dx
+            fy = fy + mag * dy
+    return fx, fy
+
+
 def collision_forces_cells(
     px: jax.Array,
     py: jax.Array,

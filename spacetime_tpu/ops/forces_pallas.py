@@ -71,6 +71,7 @@ def _collision_kernel(
     wmax: int,
     collision_distance: float,
     repulsion: float,
+    exclude_bonds: bool,
 ):
     t = pl.program_id(0)
     wrow = wrow_ref[t]
@@ -127,9 +128,10 @@ def _collision_kernel(
                 & (dist2 > 0.0)
                 & (wid != own_id)
             )
-            for s in range(8):
-                nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
-                hit = hit & (wid != nbr_s)
+            if exclude_bonds:
+                for s in range(8):
+                    nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
+                    hit = hit & (wid != nbr_s)
             inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
             mag = jnp.where(hit, repulsion * inv, 0.0)
             fx = fx + jnp.sum(mag * dx, axis=1)
@@ -165,19 +167,29 @@ class SortedStatic(NamedTuple):
 
 
 def prepare_static(order: SortedOrder, neighbors: jax.Array, tile: int = 256,
-                   wmax: int = 4096) -> SortedStatic:
-    """Sorted ids/bonds in kernel layout; computed once per step."""
+                   wmax: int = 4096, with_bonds: bool = True) -> SortedStatic:
+    """Sorted ids/bonds in kernel layout; computed once per step.
+
+    `with_bonds=False` skips the sorted bond-table gather (the kernel then
+    runs with exclude_bonds=False and bonded repulsion is subtracted outside
+    — see rk4.physics_step's shifted path)."""
     n = neighbors.shape[0]
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
     pad = wmax + (-(n + wmax) % CHUNK)
-    own_nbr = neighbors[order.sorted_idx]
+    if with_bonds:
+        own_nbr = neighbors[order.sorted_idx]
+        own_nbr2 = (
+            jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
+            .reshape(n_tiles, tile, 8)
+            .transpose(0, 2, 1)
+        )
+    else:
+        own_nbr2 = jnp.full((n_tiles, 1, tile), -2, jnp.int32)
     return SortedStatic(
         own_id2=jnp.pad(order.srt_id, (0, n_pad - n), constant_values=-1)
         .reshape(n_tiles, 1, tile),
-        own_nbr2=jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
-        .reshape(n_tiles, tile, 8)
-        .transpose(0, 2, 1),
+        own_nbr2=own_nbr2,
         srt_id_p=jnp.pad(order.srt_id, (0, pad), constant_values=-1)
         .reshape(-1, _SUB, _LANE),
     )
@@ -221,7 +233,7 @@ def build_sorted_order(
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "wmax", "collision_distance", "repulsion",
-                     "interpret"),
+                     "exclude_bonds", "interpret"),
 )
 def collision_forces_pallas(
     pos: jax.Array,  # (N, 2) current-stage positions (particle order)
@@ -232,6 +244,7 @@ def collision_forces_pallas(
     wmax: int = 4096,
     collision_distance: float = 0.002,
     repulsion: float = 100.0,
+    exclude_bonds: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Collision forces via the sorted-window kernel; returns (N, 2)."""
@@ -240,7 +253,8 @@ def collision_forces_pallas(
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
     if static is None:
-        static = prepare_static(order, neighbors, tile, wmax)
+        static = prepare_static(order, neighbors, tile, wmax,
+                                with_bonds=exclude_bonds)
 
     sidx = order.sorted_idx
     # one 8-wide ROW gather instead of two scalar gathers (~2 ms at 116k)
@@ -267,6 +281,7 @@ def collision_forces_pallas(
         wmax=wmax,
         collision_distance=collision_distance,
         repulsion=repulsion,
+        exclude_bonds=exclude_bonds,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -48,6 +48,9 @@ class StepAux(NamedTuple):
 
     grid_overflow: jax.Array  # candidates dropped by cell-capacity cap
     bonds_broken: jax.Array  # bonds removed this step (directed count)
+    # elements clipped off Pallas sorted windows (wlen > wmax) — nonzero
+    # means collision forces were silently lost in dense overlap regions
+    window_truncated: jax.Array
 
 
 def _advance(pos0, vel0, forces, rest_mass, h_scale, params: PhysicsParams):
@@ -75,6 +78,28 @@ def break_bonds(pos, neighbors, threshold):
     dist = jnp.linalg.norm(pos[:, None, :] - nbr_pos, axis=-1)
     broke = valid & (dist > threshold)
     return jnp.where(broke, -1, neighbors), jnp.sum(broke.astype(jnp.int32))
+
+
+def break_bonds_shifted(pos, neighbors, offsets, threshold):
+    """break_bonds with bonded positions read by static shifted slices (same
+    masking rule as forces.spring_forces_shifted) — no (N, 8, 2) gather."""
+    px, py = pos[:, 0], pos[:, 1]
+    n = px.shape[0]
+    iota = jnp.arange(n, dtype=neighbors.dtype)
+    cols = []
+    n_broken = jnp.int32(0)
+    for s, ds in enumerate(offsets):
+        col = neighbors[:, s]
+        broke_s = jnp.zeros((n,), bool)
+        for d in ds:
+            sel = col == iota + d
+            dx = px - jnp.roll(px, -d)
+            dy = py - jnp.roll(py, -d)
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            broke_s = broke_s | (sel & (dist > threshold))
+        cols.append(jnp.where(broke_s, -1, col))
+        n_broken = n_broken + jnp.sum(broke_s.astype(jnp.int32))
+    return jnp.stack(cols, axis=1), n_broken
 
 
 def rk4_step(
@@ -162,6 +187,8 @@ def physics_step(
     cell_capacity: int,
     integrator: str = "rk4",
     use_pallas: bool = False,
+    spring_offsets=None,
+    pallas_interpret: bool = False,
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -187,20 +214,41 @@ def physics_step(
             table.cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
             tile=256, wmax=4096,
         )
-        static = fp.prepare_static(order, nbr)
+        # with shifted-slice offsets available, bonded-pair exclusion moves
+        # OUT of the kernel (include in-kernel, subtract outside): the
+        # 8-compare inner loop was ~40% of kernel ops (softbodyrk4.glsl's
+        # exclusion semantics preserved exactly)
+        exclude_in_kernel = spring_offsets is None
+        static = fp.prepare_static(order, nbr, with_bonds=exclude_in_kernel)
+        window_truncated = order.window_truncated
 
         def F(pos):
             coll = fp.collision_forces_pallas(
                 pos, nbr, order, static,
                 collision_distance=params.collision_distance,
                 repulsion=params.collision_repulsion_coefficient,
+                exclude_bonds=exclude_in_kernel,
+                interpret=pallas_interpret,
             )
-            sfx, sfy = forces_ops.spring_forces_rows(
-                pos[:, 0], pos[:, 1], nbr, rest_lengths, params.k
-            )
+            if spring_offsets is not None:
+                sfx, sfy = forces_ops.spring_forces_shifted(
+                    pos[:, 0], pos[:, 1], nbr, spring_offsets, rest_lengths,
+                    params.k,
+                )
+                bfx, bfy = forces_ops.bonded_repulsion_shifted(
+                    pos[:, 0], pos[:, 1], nbr, spring_offsets,
+                    params.collision_distance,
+                    params.collision_repulsion_coefficient,
+                )
+                sfx, sfy = sfx - bfx, sfy - bfy
+            else:
+                sfx, sfy = forces_ops.spring_forces_rows(
+                    pos[:, 0], pos[:, 1], nbr, rest_lengths, params.k
+                )
             return coll + jnp.stack([sfx, sfy], axis=-1)
 
     else:
+        window_truncated = jnp.int32(0)
         ncell = grid_ops.neighbor_cells(table, grid_dim)  # (N, 9)
         idx_nbr = table.idx_rows[ncell]  # (N, 9, cap) — fixed per step
 
@@ -222,7 +270,8 @@ def physics_step(
             particle_id=particles.particle_id,
             active=particles.active,
         )
-        return new, StepAux(grid_overflow=table.overflow, bonds_broken=jnp.int32(0))
+        return new, StepAux(grid_overflow=table.overflow, bonds_broken=jnp.int32(0),
+                            window_truncated=window_truncated)
     if integrator != "rk4":
         raise ValueError(f"unknown integrator: {integrator}")
 
@@ -240,7 +289,14 @@ def physics_step(
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     vel = jnp.where(speed >= 1.0, vel / jnp.maximum(speed, 1e-20) * params.max_speed, vel)
     pos = pos0 + vel * h
-    new_neighbors, n_broken = break_bonds(pos0, nbr, params.bond_break_threshold)
+    if spring_offsets is not None:
+        new_neighbors, n_broken = break_bonds_shifted(
+            pos0, nbr, spring_offsets, params.bond_break_threshold
+        )
+    else:
+        new_neighbors, n_broken = break_bonds(
+            pos0, nbr, params.bond_break_threshold
+        )
 
     act = particles.active[:, None]
     new = Particles(
@@ -252,4 +308,5 @@ def physics_step(
         particle_id=particles.particle_id,
         active=particles.active,
     )
-    return new, StepAux(grid_overflow=table.overflow, bonds_broken=n_broken)
+    return new, StepAux(grid_overflow=table.overflow, bonds_broken=n_broken,
+                        window_truncated=window_truncated)

@@ -45,15 +45,58 @@ def mask_to_softbody(
     ground_pos_offset: Sequence[float],
     starting_ground_vel: Sequence[float],
     spacing: float = constants.IMMEDIATE_NEIGHBOR_DIST,
+    lattice_pad: bool = False,
 ) -> dict:
     """Build one softbody from a boolean occupancy grid (H, W).
 
     Equivalent to `image_to_softbody` given mask = (pixel != black)
     (reference: src/twoplusone/softbody/mod.rs:123-189).  Returns host-side
     arrays with *object-local* neighbor indices (rebased at pack time).
+
+    `lattice_pad=True` emits a slot for EVERY bbox pixel (non-mask pixels
+    become inactive slots parked at 1e9 with no bonds).  The spring graph is
+    identical, but neighbor slot s of particle i is then exactly i + d_s for
+    a per-object constant d_s in {±1, ±W, ±W±1} — which lets the physics
+    read bonded positions by static shifted slices instead of row gathers
+    (see ops/forces.spring_forces_shifted; the gathers' 16x lane padding
+    traced at ~12 ms/step at reference demo scale).  Costs ~1.27x capacity
+    for a disc.
     """
     mask = np.asarray(mask, bool)
     h, w = mask.shape
+    if lattice_pad:
+        n = h * w
+        ys, xs = np.divmod(np.arange(n, dtype=np.int32), w)
+        flat = mask.reshape(-1)
+        neighbors = np.full((n, 8), -1, np.int32)
+        for slot, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+            nx, ny = xs + dx, ys + dy
+            in_b = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+            tgt = np.where(in_b, ny * w + nx, 0)
+            ok = in_b & flat & flat[tgt]
+            neighbors[:, slot] = np.where(ok, tgt, -1)
+        far = np.float32(1.0e9)
+        pos = np.stack(
+            [
+                np.where(flat, xs.astype(np.float32) * spacing
+                         + np.float32(ground_pos_offset[0]), far),
+                np.where(flat, ys.astype(np.float32) * spacing
+                         + np.float32(ground_pos_offset[1]), far),
+            ],
+            axis=-1,
+        )
+        vel = np.where(
+            flat[:, None],
+            np.asarray(starting_ground_vel, np.float32)[None, :],
+            np.float32(0.0),
+        ).astype(np.float32)
+        return {
+            "pos": pos,
+            "vel": vel,
+            "neighbors": neighbors,
+            "object_index": np.full((n,), object_index, np.int32),
+            "active": flat.copy(),
+        }
     ys, xs = np.nonzero(mask)
     # Reference iterates pixels row-major and appends in that order
     # (mod.rs:143-161); np.nonzero is row-major too, so particle order and
@@ -116,8 +159,10 @@ def box_mask(w_px: int, h_px: int) -> np.ndarray:
     return np.ones((h_px, w_px), bool)
 
 
-def disc_softbody(radius_px, object_index, offset, vel) -> dict:
-    return mask_to_softbody(disc_mask(radius_px), object_index, offset, vel)
+def disc_softbody(radius_px, object_index, offset, vel, lattice_pad=False) -> dict:
+    return mask_to_softbody(
+        disc_mask(radius_px), object_index, offset, vel, lattice_pad=lattice_pad
+    )
 
 
 def radius_for_count(count: int) -> int:
@@ -154,8 +199,10 @@ class SceneBuilder:
         return sum(b["pos"].shape[0] for b in self.bodies)
 
     def build(self, capacity: Optional[int] = None) -> Tuple[Particles, Objects]:
-        pos, vel, nbr, obj, ids = concat_particle_arrays(self.bodies)
-        particles = pack_particles(pos, vel, nbr, obj, particle_id=ids, capacity=capacity)
+        pos, vel, nbr, obj, ids, act = concat_particle_arrays(self.bodies)
+        particles = pack_particles(
+            pos, vel, nbr, obj, particle_id=ids, capacity=capacity, active=act
+        )
         objects = make_objects(constants.MAX_OBJECTS, self.object_specs)
         return particles, objects
 

@@ -100,6 +100,7 @@ def pack_particles(
     particle_id: Optional[np.ndarray] = None,
     capacity: Optional[int] = None,
     pad_multiple: int = 256,
+    active: Optional[np.ndarray] = None,
 ) -> Particles:
     """Pad host-side arrays to a static capacity and move them to device.
 
@@ -115,6 +116,8 @@ def pack_particles(
         rest_mass = np.ones((n,), np.float32)
     if particle_id is None:
         particle_id = np.arange(n, dtype=np.int32)
+    if active is None:
+        active = np.ones((n,), bool)  # interior inactive slots: lattice_pad
 
     def pad(a, fill):
         out = np.full((cap,) + a.shape[1:], fill, dtype=a.dtype)
@@ -131,15 +134,17 @@ def pack_particles(
         neighbors=jnp.asarray(pad(neighbors.astype(np.int32), -1)),
         object_index=jnp.asarray(pad(object_index.astype(np.int32), 0)),
         particle_id=jnp.asarray(pad(particle_id.astype(np.int32), -1)),
-        active=jnp.asarray(pad(np.ones((n,), bool), False)),
+        active=jnp.asarray(pad(np.asarray(active, bool), False)),
     )
 
 
 def concat_particle_arrays(parts):
     """Concatenate host-side particle dicts (from scene import), rebasing
     neighbor indices to global — the analog of `SoftbodyState::add_particles`
-    (reference: src/twoplusone/softbody/mod.rs:770-778)."""
-    pos, vel, nbr, obj, ids = [], [], [], [], []
+    (reference: src/twoplusone/softbody/mod.rs:770-778).
+
+    Returns (pos, vel, neighbors, object_index, particle_id, active)."""
+    pos, vel, nbr, obj, ids, act = [], [], [], [], [], []
     base = 0
     next_id = 0
     for p in parts:
@@ -151,6 +156,7 @@ def concat_particle_arrays(parts):
         nbr.append(nb)
         obj.append(p["object_index"])
         ids.append(np.arange(next_id, next_id + n, dtype=np.int32))
+        act.append(np.asarray(p.get("active", np.ones((n,), bool)), bool))
         base += n
         next_id += n
     if not pos:
@@ -161,6 +167,7 @@ def concat_particle_arrays(parts):
             np.zeros((0, NUM_NEIGHBORS), np.int32),
             np.zeros((0,), np.int32),
             np.zeros((0,), np.int32),
+            np.zeros((0,), bool),
         )
     return (
         np.concatenate(pos),
@@ -168,4 +175,5 @@ def concat_particle_arrays(parts):
         np.concatenate(nbr),
         np.concatenate(obj),
         np.concatenate(ids),
+        np.concatenate(act),
     )

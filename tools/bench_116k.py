@@ -24,17 +24,28 @@ def main():
     width, height = 1920, 1080
     n_half = 57209
 
+    import numpy as np
+
+    from spacetime_tpu.ops import forces as forces_ops
+
     sb = scene.SceneBuilder()
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(n_half), 0, (0.0, 0.0), (0.07, 0.07)),
+        scene.disc_softbody(scene.radius_for_count(n_half), 0, (0.0, 0.0), (0.07, 0.07),
+                            lattice_pad=True),
         base_color=(0.25, 0.35, 1.0),
     )
     sb.add(
-        scene.disc_softbody(scene.radius_for_count(n_half), 1, (1.2, 0.8), (-0.07, -0.07)),
+        scene.disc_softbody(scene.radius_for_count(n_half), 1, (1.2, 0.8), (-0.07, -0.07),
+                            lattice_pad=True),
         base_color=(1.0, 0.3, 0.25),
     )
     particles, objects = sb.build()
-    model = SoftbodyModel(capacity=particles.capacity)
+    model = SoftbodyModel(
+        capacity=particles.capacity,
+        spring_offsets=forces_ops.derive_spring_offsets(
+            np.asarray(particles.neighbors)
+        ),
+    )
     print(f"# particles: {int(particles.num_active())}, capacity {particles.capacity}, history {history}",
           file=sys.stderr)
 
