@@ -5,9 +5,15 @@ DP/TP/PP/SP/EP, one Vulkan queue, boilerplate.rs:646-656).  This engine adds
 the scaling story the reference never had, mapped to this domain:
 
   * data parallel   -> pixels/rays sharded across chips (render)
-  * "tensor"/model  -> particle axis sharded across chips (physics)
-  * sequence        -> worldline-history (T) axis sharded across chips
-                       (the reference's analog of sequence length, SURVEY.md §5)
+  * "tensor"/model  -> particle axis sharded across chips (physics AND the
+                       worldline ring planes: one consistent axis means
+                       pushes and the per-particle cone sweep never reshard)
+
+The worldline history (T) axis — the reference's analog of sequence length
+(SURVEY.md §5) — is deliberately NOT sharded: each per-tick push writes one
+column across the whole history, so a T-sharded layout would reshard every
+frame.  Long history scales by HBM capacity, not by compute, and the
+band search is O(N log T).
 
 Sharding is expressed with jax.sharding.NamedSharding under jit (GSPMD): XLA
 inserts the all-gathers/permutes/reductions over ICI.  Everything works on a

@@ -4,10 +4,18 @@ GSPMD sharding layout (see parallel/__init__ for the mapping rationale):
   * Particles pytree: every (N, ...) array sharded on the capacity axis.
     Forces/integration are row-parallel; the collision-grid sort and the
     neighbor/candidate gathers become XLA collectives over ICI.
-  * Worldline ring buffer: sharded on the HISTORY axis T (the engine's
-    sequence dimension).  The per-tick `push_frame` update touches one slot;
-    the annulus mask and pair compaction run tick-parallel.
+  * Worldline ring buffer: the (N, 2T) planes are sharded on the PARTICLE
+    axis — the SAME axis as the physics state, so `push_frame` writes its
+    tick column shard-locally with no resharding, and the renderer's cone
+    sweep / window extraction stay row-parallel.  (A history-axis layout was
+    considered and rejected: every per-tick push would cut across all
+    shards.)  `times (T,)` and the cursor are replicated.
   * Image: sharded on pixel rows (pure data parallel).
+
+tests/test_parallel.py asserts the installed PartitionSpecs on the frame
+OUTPUTS and that the compiled HLO contains no full all-gather of the ring
+planes (collective-cost guard), in addition to numerical equality with the
+single-device frame.
 
 The entry points return jitted functions with in/out shardings bound, so the
 driver can run one training-step-equivalent (step + worldline push + render)
@@ -41,12 +49,15 @@ def particle_sharding(mesh: Mesh, axis: str = "d"):
 
 
 def worldline_sharding(mesh: Mesh, axis: str = "d"):
-    """Shardings for the ring buffer: shard the history (T) axis."""
-    t_row = NamedSharding(mesh, P(axis))
+    """Shardings for the ring buffer: the (N, 2T) planes shard on the
+    PARTICLE axis (dim 0) — matching the Particles sharding so pushes and
+    the renderer's per-particle band sweep are shard-local; times/cursor
+    are replicated (every shard needs the clock)."""
+    row = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     return wl.WorldlineBuffer(
-        pos_x=t_row, pos_y=t_row, vel_x=t_row, vel_y=t_row,
-        times=t_row, cursor=rep, frames_in_use=rep,
+        pos_x=row, pos_y=row, vel_x=row, vel_y=row,
+        times=rep, cursor=rep, frames_in_use=rep,
     )
 
 
@@ -71,9 +82,17 @@ def make_sharded_frame(
     axis: str = "d",
 ):
     """One fused frame — physics step + worldline push + retarded render —
-    jitted over the mesh with dp (pixels) x "tp" (particles) x sp (history)
-    shardings.  Returns fn(particles, buf, cam, time) -> (particles, buf, img).
+    jitted over the mesh: particles and ring planes shard on the particle
+    axis, the image on pixel rows.  Returns
+    fn(particles, buf, cam, time) -> (particles, buf, img).
+
+    The pixel pass is forced onto the XLA backend here: a Pallas custom
+    call cannot be auto-partitioned by GSPMD (running it would replicate
+    the whole pixel pass per chip); wrapping the kernel in shard_map is the
+    planned upgrade path.
     """
+    if render_params.backend in ("auto", "pallas"):
+        render_params = dataclasses.replace(render_params, backend="xla")
     p_shard = particle_sharding(mesh, axis)
     b_shard = worldline_sharding(mesh, axis)
     rep = replicated(mesh)

@@ -73,6 +73,53 @@ def test_sharded_frame_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1.pos), np.asarray(p2.pos), rtol=1e-6)
 
 
+def test_sharded_frame_output_partition_specs():
+    """The INSTALLED layout, not just numerics: frame outputs must carry the
+    particle-axis specs (VERDICT r1: the round-1 'history-axis' label did
+    not match what P('d') actually sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    particles, objects, model, buf, params = _setup()
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.5)
+    m = mesh_mod.make_mesh(8)
+    p_sh, b_sh = sharding.shard_state(particles, buf, m)
+    frame = sharding.make_sharded_frame(model, objects, params, 48, 48, m)
+    p2, b2, img2 = frame(p_sh, b_sh, cam, jnp.float32(0.005))
+
+    def spec(x):
+        return x.sharding.spec
+
+    assert spec(p2.pos) == P("d")
+    assert spec(p2.neighbors) == P("d")
+    # ring planes shard on the PARTICLE axis (dim 0); times replicated
+    assert spec(b2.pos_x) == P("d")
+    assert spec(b2.vel_y) == P("d")
+    assert spec(b2.times) == P()
+    assert spec(img2) == P("d")  # pixel rows
+
+
+def test_sharded_frame_no_full_ring_allgather():
+    """Collective-cost guard: the compiled multi-chip frame must not
+    all-gather an entire (N, 2T) ring plane (that would mean GSPMD gave up
+    on the particle-axis layout and replicated the history)."""
+    import re
+
+    particles, objects, model, buf, params = _setup()
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.5)
+    m = mesh_mod.make_mesh(8)
+    p_sh, b_sh = sharding.shard_state(particles, buf, m)
+    frame = sharding.make_sharded_frame(model, objects, params, 48, 48, m)
+    compiled = frame.lower(p_sh, b_sh, cam, jnp.float32(0.005)).compile()
+    hlo = compiled.as_text()
+    n, t2 = buf.pos_x.shape
+    full_plane = f"f32[{n},{t2}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and full_plane in line:
+            raise AssertionError(
+                f"full ring-plane all-gather in compiled HLO: {line.strip()}"
+            )
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
