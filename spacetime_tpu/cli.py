@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--stats", action="store_true", help="print stats JSON")
+    ap.add_argument("--stage-timing", action="store_true",
+                    help="split dispatches + device syncs: true per-stage ms "
+                         "in --stats (reference: querybank.rs timestamps)")
     ap.add_argument("--save", default=None, help="checkpoint path to write")
     ap.add_argument("--load", default=None, help="checkpoint path to resume")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -54,6 +57,8 @@ def main(argv=None) -> int:
         overrides["width"] = args.width
     if args.height:
         overrides["height"] = args.height
+    if args.stage_timing:
+        overrides["stage_timing"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 

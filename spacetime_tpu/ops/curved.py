@@ -162,8 +162,9 @@ def render_retarded_conical(
         lp1, lp2, _v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
         occ1, win1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
         occ2, win2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
-        # shorter route wins where both hit (younger, brighter image)
-        use1 = occ1 | ~occ2
+        # shorter route wins where both hit (younger, brighter image) —
+        # the around-the-back route is shorter when d_phi > alpha/2
+        use1 = occ1 & (~occ2 | (lp1 <= lp2))
         occupied = occ1 | occ2
         winner = jnp.where(use1[:, :, None], win1, win2)
         r_eff = jnp.where(use1, lp1, lp2)

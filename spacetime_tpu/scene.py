@@ -132,6 +132,7 @@ def image_to_softbody(
     object_index: int,
     ground_pos_offset: Sequence[float],
     starting_ground_vel: Sequence[float],
+    lattice_pad: bool = False,
 ) -> dict:
     """PNG (or (H,W,3) array) -> softbody; non-black pixels become particles.
 
@@ -144,7 +145,10 @@ def image_to_softbody(
 
         rgb = np.asarray(Image.open(path_or_array).convert("RGB"))
     mask = np.any(rgb != 0, axis=-1)
-    return mask_to_softbody(mask, object_index, ground_pos_offset, starting_ground_vel)
+    return mask_to_softbody(
+        mask, object_index, ground_pos_offset, starting_ground_vel,
+        lattice_pad=lattice_pad,
+    )
 
 
 def disc_mask(radius_px: int) -> np.ndarray:

@@ -18,10 +18,16 @@ from ..ops.raytrace import RenderParams
 
 @dataclasses.dataclass(frozen=True)
 class SceneSpec:
-    """Procedural scene description (bodies = (kind, count, offset, vel, rgb))."""
+    """Scene description: bodies = (kind, arg, offset, vel, rgb) with kind in
+    {"disc" (arg = particle count), "box" (arg = (w_px, h_px)),
+     "image" (arg = PNG path — the reference's import path,
+     src/twoplusone/softbody/mod.rs:117-189)}."""
 
     bodies: Tuple[tuple, ...]
     capacity: Optional[int] = None
+    # pad bodies to their bounding boxes (regular bond offsets -> shifted-
+    # slice spring physics, ~1.5x faster steps for ~1.3x capacity)
+    lattice_pad: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +47,12 @@ class EngineConfig:
     steps_per_frame: int = 1
     # conical-defect mass for curved-spacetime mode: ((cx, cy), deficit_rad)
     defect: Optional[Tuple[Tuple[float, float], float]] = None
+    # split-jit debug mode: run step / worldline push / render as separate
+    # dispatches with device syncs so StatsWindow reports true per-stage ms
+    # (the analog of the reference's GPU timestamp stages, querybank.rs:14-47)
+    stage_timing: bool = False
+    # read StepAux/RenderDiag every N frames: warn + adapt band/bin capacity
+    diag_every: int = 30
 
 
 def _blob(count, offset, vel, rgb):
@@ -140,8 +152,36 @@ def config_conical_defect() -> EngineConfig:
     )
 
 
+def config_png_demo() -> EngineConfig:
+    """The reference's ACTUAL demo path end-to-end: PNG blobs imported via
+    image_to_softbody on a collision course (reference:
+    src/twoplusone/mod.rs:86-113 loads testimg4/testimg5 the same way;
+    fixtures here are small procedural stand-in blobs)."""
+    import os
+
+    fx = os.path.join(
+        os.path.dirname(__file__), "..", "..", "assets", "fixtures"
+    )
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                ("image", os.path.join(fx, "blob_a.png"),
+                 (0.25, 0.30), (0.12, 0.12), BLUE),
+                ("image", os.path.join(fx, "blob_b.png"),
+                 (0.62, 0.58), (-0.12, -0.12), RED),
+            )
+        ),
+        width=384,
+        height=384,
+        history=384,
+        cam_pos=(0.55, 0.55),
+        cam_zoom=0.9,
+    )
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
+    "png_demo": config_png_demo,
     "two_body_collision": config_two_body_collision,
     "flagship_1080p": config_flagship_1080p,
     "accelerated_camera": config_accelerated_camera,

@@ -20,7 +20,14 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libframesink.so"))
 
 
 def _build_lib() -> Optional[str]:
-    if os.path.exists(_LIB_PATH):
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "framesink.cpp"))
+    # rebuild when missing OR stale (framesink.cpp newer than the .so) so
+    # source edits are never silently ignored
+    fresh = os.path.exists(_LIB_PATH) and (
+        not os.path.exists(src)
+        or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+    )
+    if fresh:
         return _LIB_PATH
     try:
         subprocess.run(
@@ -43,7 +50,11 @@ def _load():
     path = _build_lib()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # ABI-incompatible binary on this host: engage the PIL fallback
+        return None
     lib.fs_create.restype = ctypes.c_void_p
     lib.fs_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
