@@ -69,6 +69,7 @@ def build():
     params = raytrace.RenderParams(
         dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=64,
         cell_px=16, occlusion_downsample=2, ray_chunk=8192,
+        retina_budget=8192,
     )
 
     def frame(particles, buf, cam, t):
@@ -76,7 +77,7 @@ def build():
         buf = wl.push_frame(buf, particles, t)
         img = raytrace.render_retarded(
             buf, particles.object_index, objects, cam, width, height, params,
-            planar=True,
+            planar=True, boundary=wl.boundary_mask(particles),
         )
         return particles, buf, img
 

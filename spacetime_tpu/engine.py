@@ -223,6 +223,7 @@ class Engine:
             img, diag = raytrace.render_retarded_with_diag(
                 buf, particles.object_index, objects, cam,
                 cfg.width, cfg.height, params,
+                boundary=wl.boundary_mask(particles),
             )
             return particles, buf, aux, img, diag
 
@@ -317,6 +318,7 @@ class Engine:
             img, self.last_diag = raytrace.render_retarded_with_diag(
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, cfg.width, cfg.height, rparams,
+                boundary=wl.boundary_mask(self.particles),
             )
             return img
         if mode == "retina":
@@ -448,6 +450,12 @@ class Engine:
                 self.log.warning(
                     "view cells smaller than capsule reach: splat coverage "
                     "is incomplete at this zoom"
+                )
+            rd = diag.retina_dropped
+            if rd is not None and int(rd) > 0:
+                self.log.warning(
+                    "%d boundary pairs beyond retina_budget: occlusion may "
+                    "miss surfaces", int(rd),
                 )
 
     def run(

@@ -112,6 +112,14 @@ class RenderParams:
     # cell_too_small flags violations).  4 nearly halves the binning
     # sort/scatter volume at reference demo scale.
     splat_cells: int = 9
+    # occlusion-retina pair budget when a boundary mask is supplied: only
+    # SURFACE particles' capsules can be first hits (interior discs sit
+    # behind an overlapping boundary layer: rho 0.0026 > spacing/2), so the
+    # retina march runs over boundary pairs compacted to this budget —
+    # the worldline-meshgen "extrude the boundary" idea of the reference
+    # (worldline/mod.rs:37-44) recast as candidate culling.  0 = march all
+    # pairs.  RenderDiag.retina_dropped flags overflow.
+    retina_budget: int = 0
     doppler: bool = True
     beaming: bool = True
     doppler_strength: float = 1.0
@@ -138,6 +146,7 @@ class RenderDiag(NamedTuple):
     band_truncated: jax.Array  # particles whose crossing outlasts the band
     bin_dropped: jax.Array  # splat entries beyond bin_capacity
     cell_too_small: jax.Array  # bool: cell_px violates the coverage constraint
+    retina_dropped: object = None  # boundary pairs beyond retina_budget
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +492,31 @@ def _compact_pairs_to_budget(pairs: "PairData", budget: int) -> "PairData":
         pair_valid=ok,
         n_pairs=pairs.n_pairs,  # pre-budget count (diag shows drops)
     )
+
+
+def _compact_pairs_two_segment(pairs: "PairData", first_mask, budget: int):
+    """Compact like _compact_pairs_to_budget but write pairs matching
+    `first_mask` at the FRONT of the buffer.  The boundary-only occlusion
+    retina then reads a STATIC prefix slice instead of paying a second
+    cumsum+scatter compaction over the raw layout (traced ~2.7 ms at
+    reference demo scale).  Returns (PairData, n_first)."""
+    rows = pairs.pdata.shape[0]
+    mask = pairs.pair_valid
+    fm = mask & first_mask
+    cum_f = jnp.cumsum(fm)
+    n_first = cum_f[-1]
+    write_pos = jnp.where(
+        fm, cum_f - 1, n_first + jnp.cumsum(mask & ~fm) - 1
+    )
+    if budget <= 0 or budget >= rows:
+        budget = rows
+    idx = jnp.full((budget,), rows, jnp.int32)
+    src = jnp.arange(rows, dtype=jnp.int32)
+    idx = idx.at[jnp.where(mask, write_pos, budget)].set(src, mode="drop")
+    taken = jnp.minimum(idx, rows - 1)
+    ok = idx < rows
+    pdata = jnp.where(ok[:, None], pairs.pdata[taken], 2.0e9)
+    return PairData(pdata=pdata, pair_valid=ok, n_pairs=pairs.n_pairs), n_first
 
 
 class PairData(NamedTuple):
@@ -1065,7 +1099,7 @@ def _resolve_backend(params: RenderParams):
 
 
 def _pixel_pass_pallas_path(
-    pairs: PairData, cam, t_now, width: int, height: int,
+    pairs: PairData, rpairs: PairData, cam, t_now, width: int, height: int,
     params: RenderParams, use_rays: bool, planar: bool, interpret: bool,
 ):
     """Fused Pallas pixel pass: splat -> cell-major candidate planes ->
@@ -1085,7 +1119,7 @@ def _pixel_pass_pallas_path(
     cxm, cym = cam.pos[0], cam.pos[1]
 
     if use_rays:
-        s_first = _retina(pairs, cam, t_now, params)
+        s_first = _retina(rpairs, cam, t_now, params)
         n_rays = params.num_rays
         ds = _occlusion_ds(params)
         kq = k // ds
@@ -1134,31 +1168,52 @@ def _render_retarded_impl(
     height: int,
     params: RenderParams,
     planar: bool,
+    boundary=None,
 ):
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
+    use_rays = params.opaque and params.retarded
 
+    retina_dropped = None
     if params.retarded:
-        pairs, band_truncated = _band_pairs(
+        pairs_raw, band_truncated = _band_pairs(
             buf, obj_index, objects, cam, t_now, width, height, params
         )
-        pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
+        if use_rays and boundary is not None and params.retina_budget > 0:
+            # boundary pairs compacted to the buffer FRONT; the occlusion
+            # retina is then a static prefix slice of the same buffer
+            rmask = jnp.repeat(boundary, params.band)
+            pairs, n_b = _compact_pairs_two_segment(
+                pairs_raw, rmask, params.pair_budget
+            )
+            rb = min(params.retina_budget, pairs.pdata.shape[0])
+            rpairs = PairData(
+                pdata=jax.lax.slice_in_dim(pairs.pdata, 0, rb, axis=0),
+                pair_valid=pairs.pair_valid[:rb]
+                & (jnp.arange(rb) < jnp.minimum(n_b, rb)),
+                n_pairs=jnp.minimum(n_b, rb),
+            )
+            retina_dropped = jnp.maximum(n_b - rb, 0)
+        else:
+            pairs = _compact_pairs_to_budget(pairs_raw, params.pair_budget)
+            rpairs = pairs
     else:
         pairs = _instant_pairs(buf, obj_index, objects, params)
+        rpairs = pairs
         band_truncated = jnp.int32(0)
 
-    use_rays = params.opaque and params.retarded
     backend, interpret = _resolve_backend(params)
     if backend == "pallas":
         img, bin_dropped, cell_too_small = _pixel_pass_pallas_path(
-            pairs, cam, t_now, width, height, params, use_rays, planar,
-            interpret,
+            pairs, rpairs, cam, t_now, width, height, params, use_rays,
+            planar, interpret,
         )
         diag = RenderDiag(
             pairs_used=pairs.n_pairs,
             band_truncated=band_truncated,
             bin_dropped=bin_dropped,
             cell_too_small=cell_too_small,
+            retina_dropped=retina_dropped,
         )
         return img, diag
 
@@ -1174,7 +1229,7 @@ def _render_retarded_impl(
     cxm, cym = cam.pos[0], cam.pos[1]
 
     if use_rays:
-        s_first = _retina(pairs, cam, t_now, params)
+        s_first = _retina(rpairs, cam, t_now, params)
         # ONE global retina lookup, hoisted out of the block map (the
         # round-1 per-block gather re-paid a relayout copy per block:
         # ~3.7 ms/frame traced).  Row gather is the fast class; a scalar
@@ -1231,6 +1286,7 @@ def _render_retarded_impl(
         band_truncated=band_truncated,
         bin_dropped=bin_dropped,
         cell_too_small=cell_too_small,
+        retina_dropped=retina_dropped,
     )
     return img, diag
 
@@ -1245,9 +1301,13 @@ def render_retarded(
     height: int,
     params: RenderParams,
     planar: bool = False,
+    boundary=None,
 ) -> jax.Array:
+    """`boundary` ((N,) bool, e.g. worldline.boundary_mask) enables the
+    boundary-only occlusion retina when params.retina_budget > 0."""
     img, _ = _render_retarded_impl(
-        buf, obj_index, objects, cam, width, height, params, planar
+        buf, obj_index, objects, cam, width, height, params, planar,
+        boundary=boundary,
     )
     return img
 
@@ -1262,7 +1322,9 @@ def render_retarded_with_diag(
     height: int,
     params: RenderParams,
     planar: bool = False,
+    boundary=None,
 ):
     return _render_retarded_impl(
-        buf, obj_index, objects, cam, width, height, params, planar
+        buf, obj_index, objects, cam, width, height, params, planar,
+        boundary=boundary,
     )

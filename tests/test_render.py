@@ -235,3 +235,43 @@ def test_pair_budget_compaction_preserves_image():
         buf, particles.object_index, objects, cam, 72, 72, p_budget
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_retina_boundary_culling_close_to_full():
+    """Boundary-only occlusion pairs (worldline.boundary_mask wired into the
+    retina march) must produce nearly the same opaque image as marching all
+    pairs: interior discs sit behind the overlapping boundary layer."""
+    import dataclasses as dc
+
+    from spacetime_tpu import scene as scene_mod
+    from spacetime_tpu.models.softbody import SoftbodyModel
+    from spacetime_tpu.ops import worldline as wlops
+
+    sb = scene_mod.SceneBuilder()
+    sb.add(scene_mod.disc_softbody(7, 0, (0.40, 0.42), (0.2, 0.1)),
+           base_color=(0.25, 0.35, 1.0))
+    sb.add(scene_mod.disc_softbody(7, 1, (0.60, 0.55), (-0.2, -0.1)),
+           base_color=(1.0, 0.3, 0.25))
+    p, objects = sb.build(capacity=512)
+    model = SoftbodyModel(capacity=p.capacity)
+    buf = wlops.create(64, p.capacity)
+    t = 0.0
+    for _ in range(40):
+        p, _ = model.step(p)
+        t += model.params.h
+        buf = wlops.push_frame(buf, p, jnp.float32(t))
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.6)
+    base = raytrace.RenderParams(
+        dt=model.params.h, num_rays=512, bin_capacity=32, cell_px=16,
+        pair_budget=0, backend="xla",
+    )
+    full = raytrace.render_retarded(
+        buf, p.object_index, objects, cam, 64, 64, base
+    )
+    culled = raytrace.render_retarded(
+        buf, p.object_index, objects, cam, 64, 64,
+        dc.replace(base, retina_budget=1024),
+        boundary=wlops.boundary_mask(p),
+    )
+    diff = np.abs(np.asarray(full) - np.asarray(culled)).max(-1)
+    assert (diff > 0.05).mean() < 0.01  # <1% of pixels may shift

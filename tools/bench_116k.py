@@ -61,7 +61,7 @@ def main():
     params = raytrace.RenderParams(
         dt=model.params.h, num_rays=4096, pair_budget=131072,
         bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
-        band=4, splat_cells=4,
+        band=4, splat_cells=4, retina_budget=16384,
     )
 
     def frame(particles, buf, cam, t):
@@ -69,7 +69,7 @@ def main():
         buf = wl.push_frame(buf, particles, t)
         img = raytrace.render_retarded(
             buf, particles.object_index, objects, cam, width, height, params,
-            planar=True,
+            planar=True, boundary=wl.boundary_mask(particles),
         )
         return particles, buf, img
 
