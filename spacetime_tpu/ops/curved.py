@@ -21,14 +21,23 @@ lensing with time delay), all in closed form:
   cosines L2 = sqrt(ra^2 + rb^2 - 2 ra rb cos(alpha - d_phi)), and it exists
   as a geodesic iff (alpha - d_phi) < pi.
 
-Modeling choices (documented limitations, round-1):
+Occlusion and arrival directions (round 2) use the UNROLLED-CONE picture:
+rotating a chart point about the defect by -sign(d_phi) * alpha maps it to
+its "route-2 image", and the around-the-back geodesic from the camera is the
+chart-STRAIGHT segment to that image.  Therefore:
+  * route-1 occlusion is the ordinary flat 1D retina (chart-straight rays);
+  * route-2 occlusion is a SECOND retina marched over route-2-imaged
+    candidates (positions and velocities rotated by each candidate's sign);
+  * the route-2 arrival direction at the camera is toward the rotated event,
+    and the emitter velocity is parallel-transported (rotated) likewise
+    before Doppler shading.
+
+Modeling choices (documented limitations):
   * The softbody physics itself runs in the flat chart — valid because
     conical space is flat away from the tip; keep bodies off the defect.
-  * The scene should keep its action away from the cut ray (the chart seam).
-  * Curved mode renders x-ray (no occlusion retina): occlusion along bent
-    geodesics needs per-route visibility and is future work.
-  * Shading uses the chart arrival direction (exact for route 1; for route 2
-    the true arrival direction is rotated around the defect).
+  * The rotation sign is taken per candidate/pixel from its bearing relative
+    to the camera; paths grazing d_phi ≈ 0 or pi can pick the wrong image
+    for occlusion (oracle tests budget the resulting pixel drift).
 """
 
 from __future__ import annotations
@@ -45,12 +54,18 @@ from .raytrace import (
     PairData,
     RenderParams,
     _BIG,
+    _PI,
     _assemble_image,
     _band_pairs,
     _build_view_tables,
     _cell_pixel_coords,
-    _compose_cells,
     _occupancy_cells,
+    _field_at,
+    _retina,
+    _F_VX, _F_VY, _F_CR, _F_CG, _F_CB,
+    camera_doppler_factor_xy,
+    doppler_factor_xy,
+    shade_channels,
 )
 from .worldline import WorldlineBuffer
 
@@ -98,6 +113,57 @@ def geodesic_lengths(a, b, defect: ConicalDefect):
     )
 
 
+def _route2_theta(px, py, cam, defect: ConicalDefect):
+    """Rotation angle mapping chart points to their route-2 images w.r.t.
+    the camera: theta = -sign(bearing - camera bearing) * alpha, so the
+    rotated angular separation is alpha - |d_phi| (the back route)."""
+    cx, cy = defect.center[0], defect.center[1]
+    phi_c = jnp.arctan2(cam.pos[1] - cy, cam.pos[0] - cx)
+    d = jnp.arctan2(py - cy, px - cx) - phi_c
+    d = jnp.mod(d + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # wrap to (-pi, pi]
+    alpha = 2.0 * jnp.pi - defect.deficit
+    return jnp.where(d >= 0, -alpha, alpha)
+
+
+def _rotate_about(px, py, theta, defect: ConicalDefect):
+    cx, cy = defect.center[0], defect.center[1]
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    rx, ry = px - cx, py - cy
+    return cx + ct * rx - st * ry, cy + st * rx + ct * ry
+
+
+def _route2_image_pairs(pairs: PairData, cam, defect: ConicalDefect) -> PairData:
+    """Route-2-imaged candidates: segment endpoints and velocities rotated
+    about the defect by each candidate's (midpoint) rotation angle.  A
+    straight retina over these IS route-2 occlusion (unrolled cone)."""
+    from .raytrace import (
+        _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB,
+    )
+
+    pd = pairs.pdata
+    mx = 0.5 * (pd[:, _F_AX] + pd[:, _F_BX])
+    my = 0.5 * (pd[:, _F_AY] + pd[:, _F_BY])
+    theta = _route2_theta(mx, my, cam, defect)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = defect.center[0], defect.center[1]
+
+    def rot(x, y):
+        rx, ry = x - cx, y - cy
+        return cx + ct * rx - st * ry, cy + st * rx + ct * ry
+
+    ax, ay = rot(pd[:, _F_AX], pd[:, _F_AY])
+    bx, by = rot(pd[:, _F_BX], pd[:, _F_BY])
+    vx = ct * pd[:, _F_VX] - st * pd[:, _F_VY]
+    vy = st * pd[:, _F_VX] + ct * pd[:, _F_VY]
+    pdata = jnp.stack(
+        [ax, ay, bx, by, pd[:, _F_TA], vx, vy,
+         pd[:, _F_CR], pd[:, _F_CG], pd[:, _F_CB]],
+        axis=-1,
+    )
+    return PairData(pdata=pdata, pair_valid=pairs.pair_valid,
+                    n_pairs=pairs.n_pairs)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
 def render_retarded_conical(
     buf: WorldlineBuffer,
@@ -110,16 +176,19 @@ def render_retarded_conical(
     params: RenderParams,
     planar: bool = False,
 ) -> jax.Array:
-    """Retarded x-ray render with conical-defect geodesics: each pixel can
-    show matter via the direct route OR the around-the-back route (double
-    images with different retarded times); the shorter (younger) route wins
-    where both hit.
+    """Retarded render with conical-defect geodesics: each pixel can show
+    matter via the direct route OR the around-the-back route (double images
+    with different retarded times); the shortest VISIBLE route wins.
 
-    Structure mirrors the flat accelerated path; the light-cone radius per
-    route is the geodesic length instead of |p - cam|."""
+    Opaque mode (params.opaque) marches TWO 1D occlusion retinas — the flat
+    one for route 1 and one over route-2-imaged (rotated) candidates — and
+    shades each route with its true arrival direction and parallel-
+    transported emitter velocity (see module docstring).
+    """
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
+    use_rays = params.opaque and params.retarded
 
     # One band search per geodesic ROUTE (each route length is monotone in
     # age because |v| < c), pairs concatenated into one table.
@@ -151,27 +220,97 @@ def render_retarded_conical(
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
 
-    # --- per-pixel occupancy, both routes, dense cell blocks ---
+    # --- per-route occlusion retinas (opaque mode) ---
+    n_rays = params.num_rays
+    if use_rays:
+        s1 = _retina(pairs, cam, t_now, params)
+        s2 = _retina(_route2_image_pairs(pairs, cam, defect), cam, t_now,
+                     params)
+        s1_rows = jnp.broadcast_to(s1[:, None], (n_rays, 8))
+        s2_rows = jnp.broadcast_to(s2[:, None], (n_rays, 8))
+
+    def retina_at(rows, phi):
+        ri = jnp.clip(
+            jnp.floor((phi + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+            0, n_rays - 1,
+        )
+        return rows[ri][..., 0]
+
+    # --- per-pixel occupancy + visibility + shading, dense cell blocks ---
     pxs, pys = _cell_pixel_coords(width, height, cam, params)
     cb = params.cells_per_block
     n_blocks = pxs.shape[0] // cb
-    xray = dataclasses.replace(params, opaque=False)
 
     def block_fn(args):
         vdat, vok, px, py = args
-        lp1, lp2, _v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
+        lp1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
         occ1, win1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
         occ2, win2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
-        # shorter route wins where both hit (younger, brighter image) —
-        # the around-the-back route is shorter when d_phi > alpha/2
-        use1 = occ1 & (~occ2 | (lp1 <= lp2))
+        occ2 = occ2 & v2
+        theta_p = _route2_theta(px, py, cam, defect)
+        rpx, rpy = _rotate_about(px, py, theta_p, defect)
+        if use_rays:
+            s1px = retina_at(s1_rows, jnp.arctan2(py - cym, px - cxm))
+            s2px = retina_at(s2_rows, jnp.arctan2(rpy - cym, rpx - cxm))
+            blk1 = s1px < (lp1 - 2.0 * rho)
+            blk2 = s2px < (lp2 - 2.0 * rho)
+        else:
+            blk1 = jnp.zeros_like(occ1)
+            blk2 = jnp.zeros_like(occ2)
+        sel1 = occ1 & ~blk1
+        sel2 = occ2 & ~blk2
+        use1_vis = sel1 & (~sel2 | (lp1 <= lp2))
+        use2_vis = sel2 & ~use1_vis
+        visible = sel1 | sel2
+        # absorbed fallback (occupied but every hitting route blocked):
+        # shade the shortest occupied route, dimmed
+        use1_occ = occ1 & (~occ2 | (lp1 <= lp2))
         occupied = occ1 | occ2
-        winner = jnp.where(use1[:, :, None], win1, win2)
-        r_eff = jnp.where(use1, lp1, lp2)
-        return _compose_cells(
-            px, py, r_eff, occupied, winner, jnp.full_like(r_eff, _BIG),
-            vdat, cam, xray,
+        route1 = jnp.where(visible, use1_vis, use1_occ)
+        winner = jnp.where(route1[:, :, None], win1, win2)
+        r_eff = jnp.where(route1, lp1, lp2)
+
+        # shading: per-route arrival direction; route-2 emitter velocity is
+        # parallel-transported (rotated by the pixel's theta — the winner
+        # sits within rho of the pixel, same rotation branch)
+        vx = _field_at(vdat, winner, _F_VX)
+        vy = _field_at(vdat, winner, _F_VY)
+        ct, st = jnp.cos(theta_p), jnp.sin(theta_p)
+        vx2 = ct * vx - st * vy
+        vy2 = st * vx + ct * vy
+        vx = jnp.where(route1, vx, vx2)
+        vy = jnp.where(route1, vy, vy2)
+        ex = jnp.where(route1, px, rpx)  # chart location the photon leaves
+        ey = jnp.where(route1, py, rpy)
+        inv_r = 1.0 / jnp.maximum(r_eff, 1e-12)
+        nx = (cxm - ex) * inv_r
+        ny = (cym - ey) * inv_r
+        d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+            cam.vel[0], cam.vel[1], nx, ny
         )
+        cr = _field_at(vdat, winner, _F_CR)
+        cg = _field_at(vdat, winner, _F_CG)
+        cb_ = _field_at(vdat, winner, _F_CB)
+        sr, sg, sb = shade_channels(cr, cg, cb_, d, params)
+
+        if use_rays:
+            bg_blocked = blk1 & (blk2 | ~v2)
+
+            def compose(s):
+                return jnp.where(
+                    visible, s,
+                    jnp.where(
+                        occupied, s * params.absorbed_dim,
+                        jnp.where(bg_blocked, jnp.float32(params.shadow), 1.0),
+                    ),
+                )
+
+        else:
+
+            def compose(s):
+                return jnp.where(occupied, s, 1.0)
+
+        return jnp.stack([compose(sr), compose(sg), compose(sb)], axis=1)
 
     crgb = jax.lax.map(
         block_fn,
@@ -183,3 +322,136 @@ def render_retarded_conical(
         ),
     )
     return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params"))
+def render_conical_brute(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    defect: ConicalDefect,
+    width: int,
+    height: int,
+    params: RenderParams,
+) -> jax.Array:
+    """Exhaustive conical-defect oracle: every pixel tests every (slot,
+    particle) segment on BOTH geodesic routes, with exact per-pixel
+    occlusion (chart-straight rays for route 1; route 2 against
+    route-2-imaged segments).  Defines correct output for
+    render_retarded_conical (SURVEY.md §4 oracle strategy) — tiny scenes."""
+    from .raytrace import _occupancy_xy, _ray_hit_xy, _segment_data
+    from ..camera import pixel_centers
+
+    dt, rho = params.dt, params.rho
+    t_now = buf.times[buf.cursor]
+    cxm, cym = cam.pos[0], cam.pos[1]
+    use_rays = params.opaque and params.retarded
+
+    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
+    t_cap, n = qax.shape
+    fax, fay = qax.reshape(-1), qay.reshape(-1)
+    fbx, fby = qbx.reshape(-1), qby.reshape(-1)
+    fta = jnp.repeat(ta, n)
+    valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
+    fobj = jnp.tile(obj_index, t_cap)
+    fvx = buf.vel_x[:, :t_cap].T.reshape(-1)
+    fvy = buf.vel_y[:, :t_cap].T.reshape(-1)
+
+    # route-2 images of every segment (midpoint rotation sign)
+    cam_ = cam
+    mx, my = 0.5 * (fax + fbx), 0.5 * (fay + fby)
+    th_s = _route2_theta(mx, my, cam_, defect)
+    rax, ray_ = _rotate_about(fax, fay, th_s, defect)
+    rbx, rby = _rotate_about(fbx, fby, th_s, defect)
+    rvx = jnp.cos(th_s) * fvx - jnp.sin(th_s) * fvy
+    rvy = jnp.sin(th_s) * fvx + jnp.cos(th_s) * fvy
+
+    pc = pixel_centers(width, height, cam)
+    px = pc[..., 0].reshape(-1)
+    py = pc[..., 1].reshape(-1)
+    lp1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
+    theta_p = _route2_theta(px, py, cam_, defect)
+    rpx, rpy = _rotate_about(px, py, theta_p, defect)
+
+    def route_pass(t_e, seg):
+        ax, ay, bx, by = seg
+        inside, dist2 = _occupancy_xy(
+            px[:, None], py[:, None], t_e[:, None],
+            ax[None], ay[None], bx[None], by[None], fta[None], dt, rho,
+        )
+        inside = inside & valid_f[None, :]
+        dist2 = jnp.where(inside, dist2, _BIG)
+        best = jnp.argmin(dist2, axis=1)
+        occ = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
+        return occ, best
+
+    occ1, best1 = route_pass(t_now - lp1, (fax, fay, fbx, fby))
+    occ2, best2 = route_pass(t_now - lp2, (fax, fay, fbx, fby))
+    occ2 = occ2 & v2
+
+    if use_rays:
+        def first_hit(dhx, dhy, ax, ay, bx, by):
+            hit, s_hit = _ray_hit_xy(
+                cxm, cym, dhx[:, None], dhy[:, None],
+                ax[None], ay[None], bx[None], by[None], fta[None],
+                t_now, dt, rho,
+            )
+            s_hit = jnp.where(hit & valid_f[None, :], s_hit, _BIG)
+            return jnp.min(s_hit, axis=1)
+
+        inv1 = 1.0 / jnp.maximum(lp1, 1e-12)
+        s1 = first_hit((px - cxm) * inv1, (py - cym) * inv1,
+                       fax, fay, fbx, fby)
+        inv2 = 1.0 / jnp.maximum(
+            jnp.sqrt((rpx - cxm) ** 2 + (rpy - cym) ** 2), 1e-12
+        )
+        s2 = first_hit((rpx - cxm) * inv2, (rpy - cym) * inv2,
+                       rax, ray_, rbx, rby)
+        blk1 = s1 < (lp1 - 2.0 * rho)
+        blk2 = s2 < (lp2 - 2.0 * rho)
+    else:
+        blk1 = jnp.zeros_like(occ1)
+        blk2 = jnp.zeros_like(occ2)
+
+    sel1 = occ1 & ~blk1
+    sel2 = occ2 & ~blk2
+    use1_vis = sel1 & (~sel2 | (lp1 <= lp2))
+    use2_vis = sel2 & ~use1_vis
+    visible = sel1 | sel2
+    use1_occ = occ1 & (~occ2 | (lp1 <= lp2))
+    occupied = occ1 | occ2
+    route1 = jnp.where(visible, use1_vis, use1_occ)
+    best = jnp.where(route1, best1, best2)
+    r_eff = jnp.where(route1, lp1, lp2)
+
+    obj = fobj[best]
+    cr = objects.base_color[:, 0][obj]
+    cg = objects.base_color[:, 1][obj]
+    cb = objects.base_color[:, 2][obj]
+    wvx, wvy = fvx[best], fvy[best]
+    ct, st = jnp.cos(theta_p), jnp.sin(theta_p)
+    vx = jnp.where(route1, wvx, ct * wvx - st * wvy)
+    vy = jnp.where(route1, wvy, st * wvx + ct * wvy)
+    ex = jnp.where(route1, px, rpx)
+    ey = jnp.where(route1, py, rpy)
+    inv_r = 1.0 / jnp.maximum(r_eff, 1e-12)
+    nx = (cxm - ex) * inv_r
+    ny = (cym - ey) * inv_r
+    d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+        cam.vel[0], cam.vel[1], nx, ny
+    )
+    sr, sg, sb = shade_channels(cr, cg, cb, d, params)
+    if use_rays:
+        bg_blocked = blk1 & (blk2 | ~v2)
+        comp = lambda s: jnp.where(
+            visible, s,
+            jnp.where(
+                occupied, s * params.absorbed_dim,
+                jnp.where(bg_blocked, jnp.float32(params.shadow), 1.0),
+            ),
+        )
+    else:
+        comp = lambda s: jnp.where(occupied, s, 1.0)
+    img = jnp.stack([comp(sr), comp(sg), comp(sb)], axis=-1)
+    return img.reshape(height, width, 3)

@@ -112,3 +112,71 @@ def test_double_image_around_defect():
     rows_flat = np.nonzero(flat.min(-1) < 0.9)[0]
     rows_curved = np.nonzero(img.min(-1) < 0.9)[0]
     assert rows_curved.max() - rows_curved.min() > rows_flat.max() - rows_flat.min()
+
+
+def test_conical_opaque_matches_oracle():
+    """VERDICT r1 #9: curved mode is no longer x-ray only — opaque rendering
+    (per-route occlusion retinas) must match the exhaustive per-pixel oracle
+    within the same budget as the flat opaque test."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.28), (0.0, 0.35))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    # second blob to create occluders between camera and the first
+    sb.add(scene.disc_softbody(3, 1, (-0.18, -0.05), (0.05, 0.0)),
+           base_color=(0.9, 0.4, 0.2))
+    particles, objects = sb.build(capacity=256)
+    from spacetime_tpu.models.softbody import SoftbodyModel
+
+    model = SoftbodyModel(capacity=particles.capacity)
+    buf = wl.create(128, particles.capacity)
+    p = particles
+    t = 0.0
+    for _ in range(80):
+        p, _ = model.step(p)
+        t += H
+        buf = wl.push_frame(buf, p, t)
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.2)
+    defect = curved.ConicalDefect.create(center=(0.0, 0.0), deficit=5.0)
+    params = fitted(
+        dataclasses.replace(PARAMS, opaque=True, num_rays=1024), 96, 96, 1.2
+    )
+    fast = np.asarray(
+        curved.render_retarded_conical(
+            buf, p.object_index, objects, cam, defect, 96, 96, params
+        )
+    )
+    oracle = np.asarray(
+        curved.render_conical_brute(
+            buf, p.object_index, objects, cam, defect, 96, 96, params
+        )
+    )
+    mismatch = np.mean(np.any(np.abs(fast - oracle) > 0.05, axis=-1))
+    assert mismatch < 0.03, mismatch
+    # occlusion actually does something: opaque differs from x-ray
+    xray = np.asarray(
+        curved.render_retarded_conical(
+            buf, p.object_index, objects, cam, defect, 96, 96,
+            dataclasses.replace(params, opaque=False),
+        )
+    )
+    assert np.any(np.abs(fast - xray) > 0.05)
+
+
+def test_conical_opaque_zero_deficit_matches_flat_opaque():
+    buf, particles, objects = _static_blob_buffer((0.18, 0.02))
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    defect = curved.ConicalDefect.create(center=(-5.0, -5.0), deficit=0.0)
+    p64 = fitted(dataclasses.replace(PARAMS, opaque=True, num_rays=512),
+                 64, 64, 0.7)
+    img_c = np.asarray(
+        curved.render_retarded_conical(
+            buf, particles.object_index, objects, cam, defect, 64, 64, p64
+        )
+    )
+    img_f = np.asarray(
+        raytrace.render_retarded(
+            buf, particles.object_index, objects, cam, 64, 64, p64
+        )
+    )
+    mismatch = np.mean(np.any(np.abs(img_c - img_f) > 1e-2, axis=-1))
+    assert mismatch < 0.02
