@@ -41,6 +41,10 @@ class SoftbodyModel:
     # set, springs and bond breaking read bonded positions by static shifted
     # slices instead of row gathers (needs a lattice-padded scene layout)
     spring_offsets: Optional[tuple] = None
+    # Pallas collision-kernel sorted-window cap (elements); must exceed the
+    # densest ~3 grid rows of particles or StepAux.window_truncated fires
+    # (wide scenes — e.g. the 2^20 capacity run — need more than the default)
+    wmax: int = 4096
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -66,6 +70,7 @@ class SoftbodyModel:
             self.integrator,
             self.use_pallas,
             self.spring_offsets,
+            wmax=self.wmax,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -84,6 +89,7 @@ class SoftbodyModel:
                 self.integrator,
                 self.use_pallas,
                 self.spring_offsets,
+                wmax=self.wmax,
             )
             return p, aux
 
