@@ -95,6 +95,10 @@ class Engine:
         self.time = 0.0
         self.frame = 0
         self.paused = False
+        # live-tweakable runtime settings (the reference's HotswapConfig,
+        # debugui.rs:9-23: editable max-FPS in the overlay); mutated by the
+        # viewer at runtime without touching the frozen config
+        self.hotswap = {"max_fps": float(config.max_fps)}
         self.stats = StatsWindow()
         self.last_aux = None
         self.last_diag = None
@@ -465,14 +469,15 @@ class Engine:
         realtime: bool = False,
     ) -> Dict[str, float]:
         """Headless loop; `realtime` enables max-FPS pacing
-        (reference: main.rs:78-83 WaitUntil scheduling)."""
-        budget = 1.0 / self.config.max_fps
+        (reference: main.rs:78-83 WaitUntil scheduling).  The pacing target
+        reads the LIVE hotswap value each frame (debugui.rs:89-101)."""
         for i in range(n_frames):
             start = time.perf_counter()
             img = self.run_frame()
             if on_frame is not None:
                 on_frame(i, img)
             if realtime:
+                budget = 1.0 / max(self.hotswap["max_fps"], 1e-3)
                 elapsed = time.perf_counter() - start
                 if elapsed < budget:
                     time.sleep(budget - elapsed)

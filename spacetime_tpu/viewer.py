@@ -1,56 +1,78 @@
 """Optional interactive viewer.
 
 The reference is an interactive winit window with an egui stats overlay and
-WASD/zx/p controls (reference: src/main.rs, src/debugui.rs, src/keyboard.rs).
-This headless-first engine exposes the same interaction surface through a
+WASD/zx/p controls plus a live-editable max-FPS setting (reference:
+src/main.rs, src/debugui.rs:9-23 HotswapConfig, src/keyboard.rs).  This
+headless-first engine exposes the same interaction surface through a
 matplotlib window when a display is available; otherwise use the CLI's PNG
 streaming plus the native frame sink.
 
-Controls (matching reference keyboard.rs): a/d/w/s pan, z/x zoom, p pause,
-q quit.
+Controls (matching reference keyboard.rs, plus hotswap keys):
+  a/d/w/s pan, z/x zoom, p pause, q quit,
+  +/- raise/lower the live max-FPS target (debugui.rs:89-101 analog).
+
+`run_viewer(engine, max_frames=N, script=fn, show=False)` drives the same
+loop headlessly (Agg backend) — the scripted-key test path.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import numpy as np
 
 from .engine import Engine
 
 
-def run_viewer(engine: Engine, max_frames: Optional[int] = None) -> None:
-    """Interactive loop; requires a GUI-capable matplotlib backend."""
-    import matplotlib
+def apply_key(keys: dict, engine: Engine, key: Optional[str], down: bool) -> None:
+    """Map one key event into the engine's key dict / hotswap settings
+    (reference: keyboard.rs:3-45 booleans + debugui.rs editable max-FPS)."""
+    if key in ("a",):
+        keys["left"] = down
+    elif key in ("d",):
+        keys["right"] = down
+    elif key in ("w",):
+        keys["up"] = down
+    elif key in ("s",):
+        keys["down"] = down
+    elif key in ("z", "x"):
+        keys[key] = down
+    elif key == "p" and down:
+        keys["p"] = True
+    elif key == "q" and down:
+        keys["quit"] = True
+    elif key in ("+", "=") and down:
+        engine.hotswap["max_fps"] = min(engine.hotswap["max_fps"] * 1.25, 1000.0)
+    elif key == "-" and down:
+        engine.hotswap["max_fps"] = max(engine.hotswap["max_fps"] / 1.25, 1.0)
 
+
+def run_viewer(
+    engine: Engine,
+    max_frames: Optional[int] = None,
+    script: Optional[Callable[[int], list]] = None,
+    show: bool = True,
+) -> int:
+    """Interactive loop; requires a GUI-capable matplotlib backend unless
+    `show=False` (Agg).  `script(frame) -> [(key, down), ...]` injects
+    synthetic key events each frame (headless testing/demos).  Returns the
+    number of frames rendered."""
     try:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(8, 8))
-        fig.canvas.manager.set_window_title("spacetime_tpu")
-    except Exception as exc:  # headless box
+        if show:
+            fig.canvas.manager.set_window_title("spacetime_tpu")
+    except Exception as exc:  # headless box without Agg either
         raise RuntimeError(
-            "no interactive display available; use `python -m spacetime_tpu "
+            "no matplotlib backend available; use `python -m spacetime_tpu "
             "--out DIR` to stream PNG frames instead"
         ) from exc
 
-    keys = {}
+    keys: dict = {}
 
     def on_key(event, down):
-        if event.key in ("a",):
-            keys["left"] = down
-        elif event.key in ("d",):
-            keys["right"] = down
-        elif event.key in ("w",):
-            keys["up"] = down
-        elif event.key in ("s",):
-            keys["down"] = down
-        elif event.key in ("z", "x"):
-            keys[event.key] = down
-        elif event.key == "p" and down:
-            keys["p"] = True
-        elif event.key == "q" and down:
-            keys["quit"] = True
+        apply_key(keys, engine, event.key, down)
 
     fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
     fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
@@ -59,22 +81,30 @@ def run_viewer(engine: Engine, max_frames: Optional[int] = None) -> None:
     im = ax.imshow(np.asarray(img))
     ax.set_axis_off()
     title = ax.set_title("")
-    plt.ion()
-    plt.show()
+    if show:
+        plt.ion()
+        plt.show()
 
     frame = 0
     while not keys.get("quit"):
+        if script is not None:
+            for key, down in script(frame):
+                apply_key(keys, engine, key, down)
         img = engine.run_frame(keys=dict(keys))
         keys.pop("p", None)
         im.set_data(np.asarray(img))
         summary = engine.stats.summary()
         title.set_text(
             f"frame {engine.frame}  {summary.get('fps_avg', 0):.1f} fps avg  "
-            f"1% low {summary.get('low_1pct_ms', 0):.1f} ms"
+            f"1% low {summary.get('low_1pct_ms', 0):.1f} ms  "
+            f"max_fps {engine.hotswap['max_fps']:.0f}"
             + ("  [paused]" if engine.paused else "")
         )
         fig.canvas.draw_idle()
-        plt.pause(max(0.001, 1.0 / engine.config.max_fps))
+        if show:
+            plt.pause(max(0.001, 1.0 / engine.hotswap["max_fps"]))
         frame += 1
         if max_frames is not None and frame >= max_frames:
             break
+    plt.close(fig)
+    return frame
