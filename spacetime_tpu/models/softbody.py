@@ -45,6 +45,8 @@ class SoftbodyModel:
     # densest ~3 grid rows of particles or StepAux.window_truncated fires
     # (wide scenes — e.g. the 2^20 capacity run — need more than the default)
     wmax: int = 4096
+    # particles per kernel grid step (window DMA granularity)
+    tile: int = 256
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -71,6 +73,7 @@ class SoftbodyModel:
             self.use_pallas,
             self.spring_offsets,
             wmax=self.wmax,
+            tile=self.tile,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -90,6 +93,7 @@ class SoftbodyModel:
                 self.use_pallas,
                 self.spring_offsets,
                 wmax=self.wmax,
+                tile=self.tile,
             )
             return p, aux
 

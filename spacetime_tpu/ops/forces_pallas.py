@@ -96,8 +96,10 @@ def _collision_kernel(
             )
         ]
 
-    for cp in dma(0, 0):
-        cp.start()
+    @pl.when(n_chunks > 0)  # empty windows (inactive tail tiles) start no DMA
+    def _():
+        for cp in dma(0, 0):
+            cp.start()
 
     def body(c, acc):
         fx, fy = acc
@@ -218,8 +220,13 @@ def build_sorted_order(
     last = skey[jnp.minimum((jnp.arange(n_tiles) + 1) * tile, n) - 1]
     lo_cell = jnp.clip(first - grid_side - 1, 0, n_cells)
     hi_cell = jnp.clip(last + grid_side + 2, 0, n_cells + 1)
-    wstart = (lb[lo_cell] // CHUNK) * CHUNK  # chunk-aligned
-    wlen = lb[hi_cell] - wstart
+    # cap windows at the first INACTIVE sorted row: tiles of (or adjoining)
+    # the sentinel tail would otherwise scan to the end of the array —
+    # wasted chunks for fully-inactive tiles and a wildly over-counting
+    # truncation diagnostic on lattice-padded scenes
+    n_live = lb[n_cells]
+    wstart = jnp.minimum((lb[lo_cell] // CHUNK) * CHUNK, n_live)
+    wlen = jnp.maximum(jnp.minimum(lb[hi_cell], n_live) - wstart, 0)
     truncated = jnp.sum(jnp.maximum(wlen - wmax, 0))
     return SortedOrder(
         sorted_idx=sidx,

@@ -190,6 +190,7 @@ def physics_step(
     spring_offsets=None,
     pallas_interpret: bool = False,
     wmax: int = 4096,
+    tile: int = 256,
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -213,20 +214,20 @@ def physics_step(
 
         order = fp.build_sorted_order(
             table.cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
-            tile=256, wmax=wmax,
+            tile=tile, wmax=wmax,
         )
         # with shifted-slice offsets available, bonded-pair exclusion moves
         # OUT of the kernel (include in-kernel, subtract outside): the
         # 8-compare inner loop was ~40% of kernel ops (softbodyrk4.glsl's
         # exclusion semantics preserved exactly)
         exclude_in_kernel = spring_offsets is None
-        static = fp.prepare_static(order, nbr, wmax=wmax,
+        static = fp.prepare_static(order, nbr, tile=tile, wmax=wmax,
                                    with_bonds=exclude_in_kernel)
         window_truncated = order.window_truncated
 
         def F(pos):
             coll = fp.collision_forces_pallas(
-                pos, nbr, order, static, wmax=wmax,
+                pos, nbr, order, static, tile=tile, wmax=wmax,
                 collision_distance=params.collision_distance,
                 repulsion=params.collision_repulsion_coefficient,
                 exclude_bonds=exclude_in_kernel,
