@@ -304,6 +304,19 @@ class Engine:
             out = dataclasses.replace(
                 out, bin_capacity=min(out.bin_capacity + self._cap_boost, 256)
             )
+        # view-derived sweep bound: light reaching the (camera-centered)
+        # view rect comes from within corner-distance/h ticks; quantize to
+        # 128 so zoom micro-changes reuse compiled programs.  Conical mode
+        # keeps the full ring (route-2 geodesics are longer than chord).
+        if cfg.render_mode in ("retarded", "instant") and out.max_age == 0:
+            import math
+
+            ps = float(self.camera.zoom) / max(cfg.width, cfg.height)
+            corner = 0.5 * ps * math.hypot(cfg.width, cfg.height)
+            a = int(math.ceil(corner / cfg.physics.h)) + out.band + 8
+            a = min(cfg.history, ((a + 127) // 128) * 128)
+            if a < cfg.history:
+                out = dataclasses.replace(out, max_age=a)
         return out
 
     def render(self) -> jax.Array:

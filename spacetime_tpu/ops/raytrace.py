@@ -112,6 +112,13 @@ class RenderParams:
     # cell_too_small flags violations).  4 nearly halves the binning
     # sort/scatter volume at reference demo scale.
     splat_cells: int = 9
+    # oldest worldline age (ticks) the cone sweep scans; 0 = the full ring.
+    # Light can only arrive from within max_view_distance/dt ticks, so a
+    # view-derived bound skips most of a long history's sweep (the sweep is
+    # HBM-bound: 4 plane-reads of (N, T) per frame).  Must cover the
+    # farthest visible point + margin or distant matter silently vanishes
+    # (engine._render_params derives it from the zoom each frame).
+    max_age: int = 0
     # occlusion-retina pair budget when a boundary mask is supplied: only
     # SURFACE particles' capsules can be first hits (interior discs sit
     # behind an overlapping boundary layer: rho 0.0026 > spacing/2), so the
@@ -339,10 +346,19 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     base_col = buf.cursor + t_cap  # mirrored column of age 0
     hi0 = jnp.minimum(buf.frames_in_use - 1, t_cap - 1)
 
-    # --- dense cone sweep: columns [cursor+1, cursor+T] hold ages T-1..0 ---
-    sx = jax.lax.dynamic_slice(buf.pos_x, (0, buf.cursor + 1), (n, t_cap))
-    sy = jax.lax.dynamic_slice(buf.pos_y, (0, buf.cursor + 1), (n, t_cap))
-    age_row = jnp.arange(t_cap - 1, -1, -1, dtype=jnp.int32)[None, :]
+    # swept age range: ages [0, A) — a view-derived max_age skips the part
+    # of a long history no light cone from the view can reach
+    a_sw = t_cap if params.max_age <= 0 else min(params.max_age, t_cap)
+    col0 = buf.cursor + 1 + (t_cap - a_sw)  # slice holds ages A-1 .. 0
+    # clamp the usable age range to the sweep so no window column (or its
+    # younger endpoint) can reference an unswept tick: out-of-slice columns
+    # extract as 0.0 and would otherwise ghost through the annulus test
+    hi0 = jnp.minimum(hi0, a_sw - 1)
+
+    # --- dense cone sweep over the swept columns ---
+    sx = jax.lax.dynamic_slice(buf.pos_x, (0, col0), (n, a_sw))
+    sy = jax.lax.dynamic_slice(buf.pos_y, (0, col0), (n, a_sw))
+    age_row = jnp.arange(a_sw - 1, -1, -1, dtype=jnp.int32)[None, :]
     f = route_lengths(sx, sy) - age_row.astype(jnp.float32) * dt
     in_range = (age_row >= 1) & (age_row <= hi0)
     enter = (f <= thresh) & in_range
@@ -356,19 +372,19 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     w = band + 1
     start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
     # window column j (mirrored coords start_col + j) sits at slice column
-    # c0 + j; columns outside the slice (clipped starts / age >= T / age < 0)
+    # c0 + j; columns outside the slice (clipped starts / age >= A / age < 0)
     # extract as 0 and are masked by the age-range validity downstream
-    c0 = start_col - (buf.cursor + 1)  # (N,)
-    rel = jnp.arange(t_cap, dtype=jnp.int32)[None, :] - c0[:, None]  # (N, T)
+    c0 = start_col - col0  # (N,)
+    rel = jnp.arange(a_sw, dtype=jnp.int32)[None, :] - c0[:, None]  # (N, A)
 
-    def window(s):  # (N, T) dense slice -> (N, w)
+    def window(s):  # (N, A) dense slice -> (N, w)
         return jnp.stack(
             [jnp.sum(jnp.where(rel == j, s, 0.0), axis=1) for j in range(w)],
             axis=1,
         )
 
-    svx = jax.lax.dynamic_slice(buf.vel_x, (0, buf.cursor + 1), (n, t_cap))
-    svy = jax.lax.dynamic_slice(buf.vel_y, (0, buf.cursor + 1), (n, t_cap))
+    svx = jax.lax.dynamic_slice(buf.vel_x, (0, col0), (n, a_sw))
+    svy = jax.lax.dynamic_slice(buf.vel_y, (0, col0), (n, a_sw))
     wx = window(sx)  # (N, band+1)
     wy = window(sy)
     wvx = window(svx)

@@ -275,3 +275,27 @@ def test_retina_boundary_culling_close_to_full():
     )
     diff = np.abs(np.asarray(full) - np.asarray(culled)).max(-1)
     assert (diff > 0.05).mean() < 0.01  # <1% of pixels may shift
+
+
+def test_max_age_bounded_sweep_exact():
+    """A view-covering max_age must not change the image at all: the skipped
+    ages are beyond every pixel's light cone."""
+    import dataclasses as dc
+
+    buf, particles, objects = _drifting_blob_buffer(
+        5, (0.42, 0.45), (0.2, 0.1), n_ticks=256
+    )
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.6)
+    base = raytrace.RenderParams(
+        dt=H, num_rays=256, bin_capacity=32, cell_px=16,
+        pair_budget=0, backend="xla",
+    )
+    full = raytrace.render_retarded(
+        buf, particles.object_index, objects, cam, 64, 64, base
+    )
+    # view corner = 0.3*sqrt(2) = 0.42 ls = 85 ticks; 128 covers it
+    bounded = raytrace.render_retarded(
+        buf, particles.object_index, objects, cam, 64, 64,
+        dc.replace(base, max_age=128),
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(bounded))
