@@ -86,7 +86,7 @@ def build():
         return new
 
     return (
-        jax.jit(frame),
+        jax.jit(frame, donate_argnums=(0, 1)),
         jax.jit(step_only),
         particles,
         buf,
@@ -123,8 +123,7 @@ def main():
     fps = 1.0 / dt_frame
 
     # physics-only steps/sec
-    p2 = particles
-    p2 = step_only(p2)
+    p2 = step_only(p)
     jax.block_until_ready(p2)
     n_steps = 100
     t0 = time.perf_counter()

@@ -74,7 +74,7 @@ def main():
         )
         return particles, buf, img
 
-    frame = jax.jit(frame)
+    frame = jax.jit(frame, donate_argnums=(0, 1))
     step_only = jax.jit(lambda p: model.step(p)[0])
 
     h = model.params.h
@@ -95,7 +95,7 @@ def main():
     jax.block_until_ready(img)
     dt_frame = (time.perf_counter() - t0) / n_frames
 
-    p2 = step_only(particles)
+    p2 = step_only(p)
     jax.block_until_ready(p2)
     t0 = time.perf_counter()
     for _ in range(50):
