@@ -153,6 +153,7 @@ class SortedOrder(NamedTuple):
     """Per-step sorted-by-cell ordering + per-tile window bounds."""
 
     sorted_idx: jax.Array  # (N,) particle index per sorted row
+    inv_idx: jax.Array  # (N,) sorted row per particle (inverse permutation)
     srt_id: jax.Array  # (N,) == sorted_idx but -1 for inactive
     wrow: jax.Array  # (n_tiles,) window start CHUNK row
     wlen: jax.Array  # (n_tiles,) window length in elements (from chunk start)
@@ -210,6 +211,9 @@ def build_sorted_order(
     n = cell.shape[0]
     key = jnp.where(active, cell, n_cells)
     skey, sidx = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    # inverse permutation via a second sort (a (N,) sort is ~3x cheaper than
+    # the scalar scatter `zeros.at[sidx].set(arange)` on TPU)
+    _, inv = jax.lax.sort_key_val(sidx, jnp.arange(n, dtype=jnp.int32))
     # lower-bound table: first sorted row with cell >= c
     starts = jnp.full((n_cells + 2,), n, jnp.int32)
     starts = starts.at[skey].min(jnp.arange(n, dtype=jnp.int32))
@@ -230,6 +234,7 @@ def build_sorted_order(
     truncated = jnp.sum(jnp.maximum(wlen - wmax, 0))
     return SortedOrder(
         sorted_idx=sidx,
+        inv_idx=inv,
         srt_id=jnp.where(skey < n_cells, sidx, -1),
         wrow=wstart // CHUNK,
         wlen=jnp.minimum(wlen, wmax),
@@ -328,8 +333,13 @@ def collision_forces_pallas(
         srt_y_p.reshape(-1, _SUB, _LANE),
         srt_id_p,
     )
-    # scatter sorted-order forces back to particle order (scalar scatters;
-    # a row-packed scatter was tried and measured slower — lane padding)
-    fx = jnp.zeros((n,), jnp.float32).at[sidx].set(fx_s.reshape(-1)[:n])
-    fy = jnp.zeros((n,), jnp.float32).at[sidx].set(fy_s.reshape(-1)[:n])
-    return jnp.stack([fx, fy], axis=-1)
+    # back to particle order via a ROW gather with the inverse permutation
+    # (two scalar scatters here cost 1.36 ms/stage at 116k; packing the
+    # components into 8-wide rows and row-gathering is ~3x cheaper)
+    packed = (
+        jnp.zeros((n_pad, 8), jnp.float32)
+        .at[:, 0].set(fx_s.reshape(-1))
+        .at[:, 1].set(fy_s.reshape(-1))
+    )
+    out = packed[order.inv_idx]
+    return out[:, :2]
