@@ -69,7 +69,7 @@ def build():
     params = raytrace.RenderParams(
         dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=64,
         cell_px=16, occlusion_downsample=2, ray_chunk=8192,
-        retina_budget=8192, max_age=256,  # view corner 0.69 ls = 138 ticks
+        retina_budget=8192, max_age=160,  # view corner 0.69 ls = 138 ticks
     )
 
     def frame(particles, buf, cam, t):

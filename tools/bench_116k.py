@@ -62,7 +62,7 @@ def main():
         dt=model.params.h, num_rays=4096, pair_budget=131072,
         bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
         band=4, splat_cells=4, retina_budget=16384,
-        max_age=384,  # view corner 1.15 ls = 230 ticks
+        max_age=240,  # view corner 1.15 ls = 230 ticks
     )
 
     def frame(particles, buf, cam, t):
