@@ -355,8 +355,8 @@ def render_conical_brute(
     fta = jnp.repeat(ta, n)
     valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
     fobj = jnp.tile(obj_index, t_cap)
-    fvx = buf.vel_x[:, :t_cap].T.reshape(-1)
-    fvy = buf.vel_y[:, :t_cap].T.reshape(-1)
+    fvx = buf.vel_x[:t_cap].reshape(-1)
+    fvy = buf.vel_y[:t_cap].reshape(-1)
 
     # route-2 images of every segment (midpoint rotation sign)
     cam_ = cam

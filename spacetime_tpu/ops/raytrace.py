@@ -255,8 +255,8 @@ def _segment_data(buf: WorldlineBuffer, dt: float):
     nxt = (jnp.arange(t_cap) + 1) % t_cap
     ta = buf.times
     valid = jnp.isfinite(ta) & (jnp.abs(buf.times[nxt] - ta - dt) < 0.5 * dt)
-    qax = buf.pos_x[:, :t_cap].T  # (T, N); first half of the mirror = slots
-    qay = buf.pos_y[:, :t_cap].T
+    qax = buf.pos_x[:t_cap]  # (T, N); first half of the mirror = slots
+    qay = buf.pos_y[:t_cap]
     return qax, qay, qax[nxt], qay[nxt], ta, valid
 
 
@@ -355,36 +355,36 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     # extract as 0.0 and would otherwise ghost through the annulus test
     hi0 = jnp.minimum(hi0, a_sw - 1)
 
-    # --- dense cone sweep over the swept columns ---
-    sx = jax.lax.dynamic_slice(buf.pos_x, (0, col0), (n, a_sw))
-    sy = jax.lax.dynamic_slice(buf.pos_y, (0, col0), (n, a_sw))
-    age_row = jnp.arange(a_sw - 1, -1, -1, dtype=jnp.int32)[None, :]
+    # --- dense cone sweep over the swept rows (time-major planes) ---
+    sx = jax.lax.dynamic_slice(buf.pos_x, (col0, 0), (a_sw, n))
+    sy = jax.lax.dynamic_slice(buf.pos_y, (col0, 0), (a_sw, n))
+    age_row = jnp.arange(a_sw - 1, -1, -1, dtype=jnp.int32)[:, None]
     f = route_lengths(sx, sy) - age_row.astype(jnp.float32) * dt
     in_range = (age_row >= 1) & (age_row <= hi0)
     enter = (f <= thresh) & in_range
-    a0 = jnp.min(jnp.where(enter, age_row, hi0 + 1), axis=1)
+    a0 = jnp.min(jnp.where(enter, age_row, hi0 + 1), axis=0)
     # oldest still-crossing age (for band-truncation diagnostics)
     crossing = enter & (f >= -thresh)
-    a_last = jnp.max(jnp.where(crossing, age_row, -1), axis=1)
+    a_last = jnp.max(jnp.where(crossing, age_row, -1), axis=0)
     truncated = jnp.sum((a_last >= a0 + band).astype(jnp.int32))
 
     # --- window fetch: ages [a0+band-1 .. a0-1] as ascending columns ---
     w = band + 1
     start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
-    # window column j (mirrored coords start_col + j) sits at slice column
-    # c0 + j; columns outside the slice (clipped starts / age >= A / age < 0)
+    # window column j (mirrored coords start_col + j) sits at slice row
+    # c0 + j; rows outside the slice (clipped starts / age >= A / age < 0)
     # extract as 0 and are masked by the age-range validity downstream
     c0 = start_col - col0  # (N,)
-    rel = jnp.arange(a_sw, dtype=jnp.int32)[None, :] - c0[:, None]  # (N, A)
+    rel = jnp.arange(a_sw, dtype=jnp.int32)[:, None] - c0[None, :]  # (A, N)
 
-    def window(s):  # (N, A) dense slice -> (N, w)
+    def window(s):  # (A, N) dense slice -> (N, w)
         return jnp.stack(
-            [jnp.sum(jnp.where(rel == j, s, 0.0), axis=1) for j in range(w)],
+            [jnp.sum(jnp.where(rel == j, s, 0.0), axis=0) for j in range(w)],
             axis=1,
         )
 
-    svx = jax.lax.dynamic_slice(buf.vel_x, (0, col0), (n, a_sw))
-    svy = jax.lax.dynamic_slice(buf.vel_y, (0, col0), (n, a_sw))
+    svx = jax.lax.dynamic_slice(buf.vel_x, (col0, 0), (a_sw, n))
+    svy = jax.lax.dynamic_slice(buf.vel_y, (col0, 0), (a_sw, n))
     wx = window(sx)  # (N, band+1)
     wy = window(sy)
     wvx = window(svx)
@@ -821,8 +821,8 @@ def render_retarded_brute(
     fta = jnp.repeat(ta, n)
     valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
     fobj = jnp.tile(obj_index, t_cap)
-    fvx = buf.vel_x[:, :t_cap].T.reshape(-1)
-    fvy = buf.vel_y[:, :t_cap].T.reshape(-1)
+    fvx = buf.vel_x[:t_cap].reshape(-1)
+    fvy = buf.vel_y[:t_cap].reshape(-1)
 
     t_e = t_now - r if params.retarded else jnp.broadcast_to(t_now, r.shape)
     inside, dist2 = _occupancy_xy(
@@ -878,7 +878,7 @@ def _instant_pairs(buf, obj_index, objects, params: RenderParams):
 
     def col(plane, age):
         c = buf.cursor + t_cap - age
-        return jax.lax.dynamic_slice(plane, (0, c), (n, 1))[:, 0]
+        return jax.lax.dynamic_slice(plane, (c, 0), (1, n))[0]
 
     qax, qay = col(buf.pos_x, 1), col(buf.pos_y, 1)
     qbx, qby = col(buf.pos_x, 0), col(buf.pos_y, 0)

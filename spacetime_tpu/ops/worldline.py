@@ -19,18 +19,21 @@ I supposed to make this work"), and preserves per-particle velocity for
 Doppler shading at the retarded event.
 
 Layout (performance-critical, all measured on v5e):
-  * PARTICLE-major planes ``(N, 2T)``, one per scalar component — no
+  * TIME-major planes ``(2T, N)``, one per scalar component — no
     (..., 2) vectors (TPU pads 2-wide trailing dims to 128 lanes, 64x HBM
-    inflation) and time-contiguous per-particle history so the renderer's
-    light-cone band search reads contiguous slices.
+    inflation).  Time-major puts particles on the lane axis, so the
+    per-tick push writes two CONTIGUOUS rows (a particle-major layout's
+    column write rewrote every (8, 128) tile in the column stripe:
+    2.3 ms/frame traced at reference scale vs ~0.1 ms for rows) and the
+    renderer's dense cone sweep reads a contiguous row block.
   * The time axis is MIRRORED (slot s also written at s + T), so any
     backward-window read of up to T ticks is contiguous — no modular
-    wraparound in the hot gather.
+    wraparound in the hot path.
   * Ticks are uniformly spaced `dt` apart (push once per physics step);
     `times[slot]` records each slot's coordinate time and ring-consistency
     is validated from it.
 
-The per-tick update is one two-column `dynamic_update_slice` per plane.
+The per-tick update is one two-row `dynamic_update_slice` per plane.
 """
 
 from __future__ import annotations
@@ -47,10 +50,10 @@ from ..state import Particles
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WorldlineBuffer:
-    pos_x: jax.Array  # (N, 2T) f32, mirrored time axis
-    pos_y: jax.Array  # (N, 2T)
-    vel_x: jax.Array  # (N, 2T)
-    vel_y: jax.Array  # (N, 2T)
+    pos_x: jax.Array  # (2T, N) f32, mirrored time axis (dim 0)
+    pos_y: jax.Array  # (2T, N)
+    vel_x: jax.Array  # (2T, N)
+    vel_y: jax.Array  # (2T, N)
     times: jax.Array  # (T,) f32 — coordinate time per slot (-inf = unused)
     cursor: jax.Array  # () i32 — slot holding the newest tick
     frames_in_use: jax.Array  # () i32 — ramp-up counter (object_archive.txt:150)
@@ -61,14 +64,14 @@ class WorldlineBuffer:
 
     @property
     def num_particles(self) -> int:
-        return self.pos_x.shape[0]
+        return self.pos_x.shape[1]
 
 
 def create(capacity: int, num_particles: int) -> WorldlineBuffer:
     """Empty history. `capacity` is the `frames_stored` analog
     (object_archive.txt:118); it bounds how far into the past rays can see:
     max view radius = capacity * dt lightseconds."""
-    plane = lambda fill: jnp.full((num_particles, 2 * capacity), fill, jnp.float32)
+    plane = lambda fill: jnp.full((2 * capacity, num_particles), fill, jnp.float32)
     return WorldlineBuffer(
         pos_x=plane(1e9),
         pos_y=plane(1e9),
@@ -80,11 +83,12 @@ def create(capacity: int, num_particles: int) -> WorldlineBuffer:
     )
 
 
-def _set_column(plane, col, values, t_cap):
-    """Write `values` (N,) at slots col and col + T (mirror)."""
-    v = values[:, None]
-    plane = jax.lax.dynamic_update_slice(plane, v, (0, col))
-    return jax.lax.dynamic_update_slice(plane, v, (0, col + t_cap))
+def _set_row(plane, slot, values, t_cap):
+    """Write `values` (N,) at slots slot and slot + T (mirror) — two
+    contiguous row writes."""
+    v = values[None, :]
+    plane = jax.lax.dynamic_update_slice(plane, v, (slot, 0))
+    return jax.lax.dynamic_update_slice(plane, v, (slot + t_cap, 0))
 
 
 @jax.jit
@@ -98,10 +102,10 @@ def push_raw(buf: WorldlineBuffer, pos, vel, present, time) -> WorldlineBuffer:
     px = jnp.where(present, pos[:, 0], 1e9)
     py = jnp.where(present, pos[:, 1], 1e9)
     return WorldlineBuffer(
-        pos_x=_set_column(buf.pos_x, cursor, px, t_cap),
-        pos_y=_set_column(buf.pos_y, cursor, py, t_cap),
-        vel_x=_set_column(buf.vel_x, cursor, vel[:, 0], t_cap),
-        vel_y=_set_column(buf.vel_y, cursor, vel[:, 1], t_cap),
+        pos_x=_set_row(buf.pos_x, cursor, px, t_cap),
+        pos_y=_set_row(buf.pos_y, cursor, py, t_cap),
+        vel_x=_set_row(buf.vel_x, cursor, vel[:, 0], t_cap),
+        vel_y=_set_row(buf.vel_y, cursor, vel[:, 1], t_cap),
         times=buf.times.at[cursor].set(jnp.float32(time)),
         cursor=cursor,
         frames_in_use=jnp.minimum(buf.frames_in_use + 1, t_cap),
@@ -133,14 +137,14 @@ def prefill_inertial(
     rel2 = jnp.concatenate([rel_t, rel_t])  # mirrored
 
     def fill(p, v):
-        out = p[:, None] + v[:, None] * rel2[None, :]
-        return jnp.where(present[:, None], out, 1e9)
+        out = p[None, :] + v[None, :] * rel2[:, None]
+        return jnp.where(present[None, :], out, 1e9)
 
     return WorldlineBuffer(
         pos_x=fill(pos[:, 0], vel[:, 0]),
         pos_y=fill(pos[:, 1], vel[:, 1]),
-        vel_x=jnp.broadcast_to(vel[:, 0][:, None], (n, 2 * t_cap)),
-        vel_y=jnp.broadcast_to(vel[:, 1][:, None], (n, 2 * t_cap)),
+        vel_x=jnp.broadcast_to(vel[:, 0][None, :], (2 * t_cap, n)),
+        vel_y=jnp.broadcast_to(vel[:, 1][None, :], (2 * t_cap, n)),
         times=t0 + rel_t,
         cursor=jnp.int32(t_cap - 1),
         frames_in_use=jnp.int32(t_cap),
@@ -154,10 +158,10 @@ def slot_of_age(buf: WorldlineBuffer, age):
 
 
 def pos_at_age(buf: WorldlineBuffer, age):
-    """(N, 2) positions at a given age (column dynamic-slice, no gather)."""
+    """(N, 2) positions at a given age (row dynamic-slice, no gather)."""
     slot = slot_of_age(buf, age)
-    x = jax.lax.dynamic_slice_in_dim(buf.pos_x, slot, 1, axis=1)[:, 0]
-    y = jax.lax.dynamic_slice_in_dim(buf.pos_y, slot, 1, axis=1)[:, 0]
+    x = jax.lax.dynamic_slice_in_dim(buf.pos_x, slot, 1, axis=0)[0]
+    y = jax.lax.dynamic_slice_in_dim(buf.pos_y, slot, 1, axis=0)[0]
     return jnp.stack([x, y], axis=-1)
 
 

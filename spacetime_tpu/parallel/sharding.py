@@ -4,12 +4,13 @@ GSPMD sharding layout (see parallel/__init__ for the mapping rationale):
   * Particles pytree: every (N, ...) array sharded on the capacity axis.
     Forces/integration are row-parallel; the collision-grid sort and the
     neighbor/candidate gathers become XLA collectives over ICI.
-  * Worldline ring buffer: the (N, 2T) planes are sharded on the PARTICLE
-    axis — the SAME axis as the physics state, so `push_frame` writes its
-    tick column shard-locally with no resharding, and the renderer's cone
-    sweep / window extraction stay row-parallel.  (A history-axis layout was
-    considered and rejected: every per-tick push would cut across all
-    shards.)  `times (T,)` and the cursor are replicated.
+  * Worldline ring buffer: the time-major (2T, N) planes are sharded on
+    the PARTICLE axis (dim 1) — the SAME axis as the physics state, so
+    `push_frame` writes its tick row shard-locally with no resharding, and
+    the renderer's cone sweep / window extraction stay particle-parallel.
+    (A history-axis layout was considered and rejected: every per-tick push
+    would cut across all shards.)  `times (T,)` and the cursor are
+    replicated.
   * Image: sharded on pixel rows (pure data parallel).
 
 tests/test_parallel.py asserts the installed PartitionSpecs on the frame
@@ -49,14 +50,14 @@ def particle_sharding(mesh: Mesh, axis: str = "d"):
 
 
 def worldline_sharding(mesh: Mesh, axis: str = "d"):
-    """Shardings for the ring buffer: the (N, 2T) planes shard on the
-    PARTICLE axis (dim 0) — matching the Particles sharding so pushes and
-    the renderer's per-particle band sweep are shard-local; times/cursor
+    """Shardings for the ring buffer: the time-major (2T, N) planes shard
+    on the PARTICLE axis (dim 1) — matching the Particles sharding so pushes
+    and the renderer's per-particle band sweep are shard-local; times/cursor
     are replicated (every shard needs the clock)."""
-    row = NamedSharding(mesh, P(axis))
+    plane = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
     return wl.WorldlineBuffer(
-        pos_x=row, pos_y=row, vel_x=row, vel_y=row,
+        pos_x=plane, pos_y=plane, vel_x=plane, vel_y=plane,
         times=rep, cursor=rep, frames_in_use=rep,
     )
 

@@ -20,7 +20,7 @@ from typing import Any, Dict, Tuple
 import jax
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: time-major (2T, N) worldline planes
 
 
 def save(path: str, tree: Any, meta: Dict | None = None) -> None:

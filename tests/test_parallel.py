@@ -91,16 +91,16 @@ def test_sharded_frame_output_partition_specs():
 
     assert spec(p2.pos) == P("d")
     assert spec(p2.neighbors) == P("d")
-    # ring planes shard on the PARTICLE axis (dim 0); times replicated
-    assert spec(b2.pos_x) == P("d")
-    assert spec(b2.vel_y) == P("d")
+    # ring planes shard on the PARTICLE axis (dim 1); times replicated
+    assert spec(b2.pos_x) == P(None, "d")
+    assert spec(b2.vel_y) == P(None, "d")
     assert spec(b2.times) == P()
     assert spec(img2) == P("d")  # pixel rows
 
 
 def test_sharded_frame_no_full_ring_allgather():
     """Collective-cost guard: the compiled multi-chip frame must not
-    all-gather an entire (N, 2T) ring plane (that would mean GSPMD gave up
+    all-gather an entire (2T, N) ring plane (that would mean GSPMD gave up
     on the particle-axis layout and replicated the history)."""
     import re
 
@@ -111,8 +111,8 @@ def test_sharded_frame_no_full_ring_allgather():
     frame = sharding.make_sharded_frame(model, objects, params, 48, 48, m)
     compiled = frame.lower(p_sh, b_sh, cam, jnp.float32(0.005)).compile()
     hlo = compiled.as_text()
-    n, t2 = buf.pos_x.shape
-    full_plane = f"f32[{n},{t2}]"
+    t2, n = buf.pos_x.shape
+    full_plane = f"f32[{t2},{n}]"
     for line in hlo.splitlines():
         if "all-gather" in line and full_plane in line:
             raise AssertionError(

@@ -23,7 +23,7 @@ def test_mirror_consistency():
     for i in range(6):
         buf = wl.push_frame(buf, _particles(float(i)), time=i * 0.005)
     px = np.asarray(buf.pos_x)
-    np.testing.assert_array_equal(px[:, :4], px[:, 4:])
+    np.testing.assert_array_equal(px[:4], px[4:])
 
 
 def test_push_and_wrap():
@@ -32,8 +32,8 @@ def test_push_and_wrap():
         buf = wl.push_frame(buf, _particles(float(i)), time=i * 0.005)
     assert int(buf.frames_in_use) == 4
     # newest is x=5; ring holds ticks 2..5
-    assert float(buf.pos_x[0, buf.cursor]) == 5.0
-    ages = [float(buf.pos_x[0, wl.slot_of_age(buf, a)]) for a in range(4)]
+    assert float(buf.pos_x[buf.cursor, 0]) == 5.0
+    ages = [float(buf.pos_x[wl.slot_of_age(buf, a), 0]) for a in range(4)]
     assert ages == [5.0, 4.0, 3.0, 2.0]
     times = [float(buf.times[wl.slot_of_age(buf, a)]) for a in range(4)]
     np.testing.assert_allclose(times, [0.025, 0.020, 0.015, 0.010], rtol=1e-5)
@@ -50,7 +50,7 @@ def test_ramp_up_times_invalid():
 def test_inactive_particles_parked():
     buf = wl.create(capacity=4, num_particles=8)
     buf = wl.push_frame(buf, _particles(1.0), time=0.0)
-    assert np.all(np.asarray(buf.pos_x[1:, buf.cursor]) >= 1e8)
+    assert np.all(np.asarray(buf.pos_x[buf.cursor, 1:]) >= 1e8)
 
 
 def test_boundary_mask():
