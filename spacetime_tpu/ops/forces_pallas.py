@@ -214,23 +214,28 @@ def build_sorted_order(
     # inverse permutation via a second sort (a (N,) sort is ~3x cheaper than
     # the scalar scatter `zeros.at[sidx].set(arange)` on TPU)
     _, inv = jax.lax.sort_key_val(sidx, jnp.arange(n, dtype=jnp.int32))
-    # lower-bound table: first sorted row with cell >= c
-    starts = jnp.full((n_cells + 2,), n, jnp.int32)
-    starts = starts.at[skey].min(jnp.arange(n, dtype=jnp.int32))
-    lb = jax.lax.cummin(starts[::-1])[::-1]
 
     n_tiles = -(-n // tile)
     first = skey[jnp.arange(n_tiles) * tile]
     last = skey[jnp.minimum((jnp.arange(n_tiles) + 1) * tile, n) - 1]
     lo_cell = jnp.clip(first - grid_side - 1, 0, n_cells)
     hi_cell = jnp.clip(last + grid_side + 2, 0, n_cells + 1)
+    # lower bounds (first sorted row with cell >= c) only at the 2*n_tiles+1
+    # cells actually queried, via vectorized binary search over the sorted
+    # keys — a dense (n_cells,) scatter-min start table cost 1.3 ms at 116k
+    # vs ~0.05 ms for log2(N) rounds over a few hundred queries
+    queries = jnp.concatenate(
+        [lo_cell, hi_cell, jnp.array([n_cells], jnp.int32)]
+    )
+    lbq = jnp.searchsorted(skey, queries, side="left").astype(jnp.int32)
+    lb_lo, lb_hi = lbq[:n_tiles], lbq[n_tiles:2 * n_tiles]
     # cap windows at the first INACTIVE sorted row: tiles of (or adjoining)
     # the sentinel tail would otherwise scan to the end of the array —
     # wasted chunks for fully-inactive tiles and a wildly over-counting
     # truncation diagnostic on lattice-padded scenes
-    n_live = lb[n_cells]
-    wstart = jnp.minimum((lb[lo_cell] // CHUNK) * CHUNK, n_live)
-    wlen = jnp.maximum(jnp.minimum(lb[hi_cell], n_live) - wstart, 0)
+    n_live = lbq[-1]
+    wstart = jnp.minimum((lb_lo // CHUNK) * CHUNK, n_live)
+    wlen = jnp.maximum(jnp.minimum(lb_hi, n_live) - wstart, 0)
     truncated = jnp.sum(jnp.maximum(wlen - wmax, 0))
     return SortedOrder(
         sorted_idx=sidx,

@@ -176,22 +176,14 @@ class CellTable(NamedTuple):
         return self.idx_rows.shape[0] - 1
 
 
-def build_cell_table(
-    pos: jax.Array,
-    active: jax.Array,
-    grid_resolution,
-    grid_dim: int,
-    cell_capacity: int,
-) -> CellTable:
-    """Bin particles into a (grid_dim + 2 halo)^2 dense cell grid.
+def cell_ids(pos: jax.Array, active: jax.Array, grid_resolution, grid_dim: int):
+    """Flat halo cell id per particle + floating grid origin (no table).
 
     The grid origin floats with the scene (min active position minus one
     cell), so the static `grid_dim` only caps the live EXTENT
     (grid_dim * resolution lightseconds); out-of-extent particles clamp into
     border cells, which keeps near-pairs co-located (correct, just denser).
-    """
-    n = pos.shape[0]
-    cap = cell_capacity
+    Inactive particles map to cell id n_cells (past the halo grid)."""
     side = grid_dim + 2
     n_cells = side * side
     px, py = pos[:, 0], pos[:, 1]
@@ -201,6 +193,23 @@ def build_cell_table(
     cx = jnp.clip(jnp.floor((px - ox) / grid_resolution).astype(jnp.int32), 0, grid_dim - 1) + 1
     cy = jnp.clip(jnp.floor((py - oy) / grid_resolution).astype(jnp.int32), 0, grid_dim - 1) + 1
     cell = jnp.where(active, cy * side + cx, n_cells)
+    return cell, jnp.stack([ox, oy])
+
+
+def build_cell_table(
+    pos: jax.Array,
+    active: jax.Array,
+    grid_resolution,
+    grid_dim: int,
+    cell_capacity: int,
+) -> CellTable:
+    """Bin particles into a (grid_dim + 2 halo)^2 dense cell grid
+    (see cell_ids for the floating-origin semantics)."""
+    n = pos.shape[0]
+    cap = cell_capacity
+    side = grid_dim + 2
+    n_cells = side * side
+    cell, origin = cell_ids(pos, active, grid_resolution, grid_dim)
 
     skey, sidx = jax.lax.sort_key_val(cell, jnp.arange(n, dtype=jnp.int32))
     starts = jnp.full((n_cells + 2,), n, jnp.int32)
@@ -221,7 +230,7 @@ def build_cell_table(
         cell=cell,
         idx_rows=idx_rows.reshape(n_cells + 1, cap),
         overflow=overflow,
-        origin=jnp.stack([ox, oy]),
+        origin=origin,
     )
 
 

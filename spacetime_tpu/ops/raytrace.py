@@ -467,8 +467,13 @@ def _band_pairs(
     far = 2.0e9
     keep = lambda v: jnp.where(valid, v, far).reshape(-1)
     pobj = jnp.broadcast_to(obj_index[:, None], (n, band))
+    # one row gather for all three albedo channels (three scalar (N,)
+    # gathers here traced 2.1 ms at 116k; 8-wide rows are the fast class)
+    crows = jnp.zeros((objects.base_color.shape[0], 8), jnp.float32)
+    crows = jax.lax.dynamic_update_slice(crows, objects.base_color, (0, 0))
+    prgb = crows[obj_index]  # (N, 8)
     col = lambda c: jnp.broadcast_to(
-        objects.base_color[:, c][obj_index][:, None], (n, band)
+        prgb[:, c][:, None], (n, band)
     ).reshape(-1)
     pdata = jnp.stack(
         [

@@ -203,17 +203,21 @@ def physics_step(
     pos0, vel0 = particles.pos, particles.vel
     nbr, m = particles.neighbors, particles.rest_mass
 
-    table = grid_ops.build_cell_table(
-        pos0, particles.active, params.grid_resolution, grid_dim, cell_capacity
-    )
     if use_pallas:
         # fused Pallas collision kernel over sorted cell windows (TPU only);
         # binning order fixed per step, positions re-fed per stage — the
-        # same grid-reuse dataflow as the reference (softbody/mod.rs:557-596)
+        # same grid-reuse dataflow as the reference (softbody/mod.rs:557-596).
+        # The dense halo table is NOT built here: the kernel needs only the
+        # cell ids (its windows are exact, so the XLA path's per-cell
+        # capacity — and its overflow diagnostic — do not apply).
         from . import forces_pallas as fp
 
+        cell, _origin = grid_ops.cell_ids(
+            pos0, particles.active, params.grid_resolution, grid_dim
+        )
+        grid_overflow = jnp.int32(0)
         order = fp.build_sorted_order(
-            table.cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
+            cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
             tile=tile, wmax=wmax,
         )
         # with shifted-slice offsets available, bonded-pair exclusion moves
@@ -252,6 +256,11 @@ def physics_step(
 
     else:
         window_truncated = jnp.int32(0)
+        table = grid_ops.build_cell_table(
+            pos0, particles.active, params.grid_resolution, grid_dim,
+            cell_capacity,
+        )
+        grid_overflow = table.overflow
         ncell = grid_ops.neighbor_cells(table, grid_dim)  # (N, 9)
         idx_nbr = table.idx_rows[ncell]  # (N, 9, cap) — fixed per step
 
@@ -273,7 +282,7 @@ def physics_step(
             particle_id=particles.particle_id,
             active=particles.active,
         )
-        return new, StepAux(grid_overflow=table.overflow, bonds_broken=jnp.int32(0),
+        return new, StepAux(grid_overflow=grid_overflow, bonds_broken=jnp.int32(0),
                             window_truncated=window_truncated)
     if integrator != "rk4":
         raise ValueError(f"unknown integrator: {integrator}")
@@ -311,5 +320,5 @@ def physics_step(
         particle_id=particles.particle_id,
         active=particles.active,
     )
-    return new, StepAux(grid_overflow=table.overflow, bonds_broken=n_broken,
+    return new, StepAux(grid_overflow=grid_overflow, bonds_broken=n_broken,
                         window_truncated=window_truncated)

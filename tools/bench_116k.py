@@ -66,32 +66,32 @@ def main():
     )
 
     def frame(particles, buf, cam, t):
+        # t stays on device across frames (a fresh host scalar per frame
+        # costs one tunnel round-trip in the dispatch path)
+        t = t + jnp.float32(model.params.h)
         particles, _aux = model.step(particles)
         buf = wl.push_frame(buf, particles, t)
         img = raytrace.render_retarded(
             buf, particles.object_index, objects, cam, width, height, params,
             planar=True, boundary=wl.boundary_mask(particles),
         )
-        return particles, buf, img
+        return particles, buf, img, t
 
-    frame = jax.jit(frame, donate_argnums=(0, 1))
+    frame = jax.jit(frame, donate_argnums=(0, 1, 3))
     step_only = jax.jit(lambda p: model.step(p)[0])
 
-    h = model.params.h
-    t = 0.0
+    t = jnp.float32(0.0)
     p, b = particles, buf
     t0 = time.perf_counter()
     for _ in range(5):
-        t += h
-        p, b, img = frame(p, b, cam, jnp.float32(t))
+        p, b, img, t = frame(p, b, cam, t)
     jax.block_until_ready(img)
     print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     n_frames = 30
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        t += h
-        p, b, img = frame(p, b, cam, jnp.float32(t))
+        p, b, img, t = frame(p, b, cam, t)
     jax.block_until_ready(img)
     dt_frame = (time.perf_counter() - t0) / n_frames
 
