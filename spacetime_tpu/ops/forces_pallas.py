@@ -49,30 +49,34 @@ def _collision_kernel(
     # scalar prefetch
     wrow_ref,  # (n_tiles,) i32 — window start chunk-row per tile
     wlen_ref,  # (n_tiles,) i32 — window length (elements) per tile
-    # VMEM (full arrays; leading dim sliced dynamically)
-    own_x_ref,  # (n_tiles, 1, tile)
-    own_y_ref,
-    own_id_ref,  # (n_tiles, 1, tile) i32
-    own_nbr_ref,  # (n_tiles, 8, tile) i32, bond-slot-major
-    # HBM (manual DMA)
-    srt_x_hbm,  # (n_chunk_rows, 8, 128)
-    srt_y_hbm,
-    srt_id_hbm,
-    # outputs
-    fx_ref,  # (n_tiles, 1, tile)
-    fy_ref,
-    # scratch (double-buffered window chunks; leading dim = slot)
-    wx_ref,  # (2, 8, 128)
-    wy_ref,
-    wid_ref,
-    sems,  # (2, 3) DMA semaphores
-    *,
+    *refs,
     tile: int,
     wmax: int,
     collision_distance: float,
     repulsion: float,
     exclude_bonds: bool,
 ):
+    if exclude_bonds:
+        # full variant: candidate ids ride along so self/bond pairs can be
+        # excluded in-kernel (XLA-fallback parity path, small scenes / CPU)
+        (own_x_ref, own_y_ref, own_id_ref, own_nbr_ref,
+         srt_x_hbm, srt_y_hbm, srt_id_hbm,
+         fx_ref, fy_ref, wx_ref, wy_ref, wid_ref, sems) = refs
+        hbm_bufs = ((srt_x_hbm, wx_ref, 0), (srt_y_hbm, wy_ref, 1),
+                    (srt_id_hbm, wid_ref, 2))
+    else:
+        # fast variant (production, bonded repulsion subtracted outside):
+        # no id plane at all.  The in-window j < wlen and id tests are
+        # DROPPED — safe because (a) overscan rows up to the chunk end are
+        # real sorted particles >= 2 grid rows below every tile member
+        # (> grid_resolution > collision_distance away) or BIGPOS
+        # sentinels, so the distance test rejects them, and (b) dist2 > 0
+        # reproduces the reference's position-equality self-exclusion
+        # (softbodyrk4.glsl:99, see ops/forces.py module docstring).
+        (own_x_ref, own_y_ref, srt_x_hbm, srt_y_hbm,
+         fx_ref, fy_ref, wx_ref, wy_ref, sems) = refs
+        hbm_bufs = ((srt_x_hbm, wx_ref, 0), (srt_y_hbm, wy_ref, 1))
+
     t = pl.program_id(0)
     wrow = wrow_ref[t]
     wlen = jnp.minimum(wlen_ref[t], wmax)
@@ -81,7 +85,8 @@ def _collision_kernel(
 
     own_x = own_x_ref[t].reshape(tile, 1)
     own_y = own_y_ref[t].reshape(tile, 1)
-    own_id = own_id_ref[t].reshape(tile, 1)
+    if exclude_bonds:
+        own_id = own_id_ref[t].reshape(tile, 1)
 
     def dma(slot, c):
         return [
@@ -89,11 +94,7 @@ def _collision_kernel(
                 hbm.at[pl.ds(wrow + c, 1)], vref.at[pl.ds(slot, 1)],
                 sems.at[slot, k],
             )
-            for hbm, vref, k in (
-                (srt_x_hbm, wx_ref, 0),
-                (srt_y_hbm, wy_ref, 1),
-                (srt_id_hbm, wid_ref, 2),
-            )
+            for hbm, vref, k in hbm_bufs
         ]
 
     @pl.when(n_chunks > 0)  # empty windows (inactive tail tiles) start no DMA
@@ -116,21 +117,20 @@ def _collision_kernel(
         for r in range(_SUB):
             wx = wx_ref[slot, r, :].reshape(1, _LANE)
             wy = wy_ref[slot, r, :].reshape(1, _LANE)
-            wid = wid_ref[slot, r, :].reshape(1, _LANE)
-            j = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                + c * CHUNK + r * _LANE
-            )
             dx = own_x - wx  # (tile, 128)
             dy = own_y - wy
             dist2 = dx * dx + dy * dy
             hit = (
-                (j < wlen)
-                & (dist2 < collision_distance * collision_distance)
+                (dist2 < collision_distance * collision_distance)
                 & (dist2 > 0.0)
-                & (wid != own_id)
             )
             if exclude_bonds:
+                wid = wid_ref[slot, r, :].reshape(1, _LANE)
+                j = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                    + c * CHUNK + r * _LANE
+                )
+                hit = hit & (j < wlen) & (wid != own_id)
                 for s in range(8):
                     nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
                     hit = hit & (wid != nbr_s)
@@ -180,15 +180,16 @@ def prepare_static(order: SortedOrder, neighbors: jax.Array, tile: int = 256,
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
     pad = wmax + (-(n + wmax) % CHUNK)
-    if with_bonds:
-        own_nbr = neighbors[order.sorted_idx]
-        own_nbr2 = (
-            jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
-            .reshape(n_tiles, tile, 8)
-            .transpose(0, 2, 1)
-        )
-    else:
-        own_nbr2 = jnp.full((n_tiles, 1, tile), -2, jnp.int32)
+    if not with_bonds:
+        # fast kernel variant carries no id planes at all (see
+        # _collision_kernel's exclude_bonds=False branch)
+        return SortedStatic(own_id2=None, own_nbr2=None, srt_id_p=None)
+    own_nbr = neighbors[order.sorted_idx]
+    own_nbr2 = (
+        jnp.pad(own_nbr, ((0, n_pad - n), (0, 0)), constant_values=-2)
+        .reshape(n_tiles, tile, 8)
+        .transpose(0, 2, 1)
+    )
     return SortedStatic(
         own_id2=jnp.pad(order.srt_id, (0, n_pad - n), constant_values=-1)
         .reshape(n_tiles, 1, tile),
@@ -274,23 +275,24 @@ def collision_forces_pallas(
                                 with_bonds=exclude_bonds)
 
     sidx = order.sorted_idx
-    # one 8-wide ROW gather instead of two scalar gathers (~2 ms at 116k)
-    rows = jnp.zeros((n, 8), pos.dtype).at[:, 0].set(pos[:, 0]).at[:, 1].set(pos[:, 1])
-    g = rows[sidx]
+    # Apply the (known) cell permutation by a multi-operand lax.sort keyed
+    # on the inverse permutation — one fused on-device sort replaces the
+    # 8-wide row pack + row gather (the pack's strided column writes and
+    # the gather's row traffic were ~1 ms/stage at 116k).
+    _, gx, gy = jax.lax.sort(
+        (order.inv_idx, pos[:, 0], pos[:, 1]), dimension=0, num_keys=1
+    )
     live = order.srt_id >= 0
-    srt_x = jnp.where(live, g[:, 0], _BIGPOS)
-    srt_y = jnp.where(live, g[:, 1], _BIGPOS)
+    srt_x = jnp.where(live, gx, _BIGPOS)
+    srt_y = jnp.where(live, gy, _BIGPOS)
     # pad so any window [chunk_start, chunk_start + wmax) is in bounds and
     # the total length is CHUNK-aligned
     pad = wmax + (-(n + wmax) % CHUNK)
     srt_x_p = jnp.pad(srt_x, (0, pad), constant_values=_BIGPOS)
     srt_y_p = jnp.pad(srt_y, (0, pad), constant_values=_BIGPOS)
-    srt_id_p = static.srt_id_p
 
     own_x2 = jnp.pad(srt_x, (0, n_pad - n)).reshape(n_tiles, 1, tile)
     own_y2 = jnp.pad(srt_y, (0, n_pad - n)).reshape(n_tiles, 1, tile)
-    own_id2 = static.own_id2
-    own_nbr2 = static.own_nbr2
 
     kernel = functools.partial(
         _collision_kernel,
@@ -300,28 +302,40 @@ def collision_forces_pallas(
         repulsion=repulsion,
         exclude_bonds=exclude_bonds,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+    if exclude_bonds:
+        in_specs = [vm, vm, vm, vm, anym, anym, anym]
+        scratch = [
             pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
             pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
             pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        ]
+        args = (
+            own_x2, own_y2, static.own_id2, static.own_nbr2,
+            srt_x_p.reshape(-1, _SUB, _LANE),
+            srt_y_p.reshape(-1, _SUB, _LANE),
+            static.srt_id_p,
+        )
+    else:
+        in_specs = [vm, vm, anym, anym]
+        scratch = [
+            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        args = (
+            own_x2, own_y2,
+            srt_x_p.reshape(-1, _SUB, _LANE),
+            srt_y_p.reshape(-1, _SUB, _LANE),
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[vm, vm],
+        scratch_shapes=scratch,
     )
     fx_s, fy_s = pl.pallas_call(
         kernel,
@@ -331,20 +345,11 @@ def collision_forces_pallas(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        order.wrow, order.wlen,
-        own_x2, own_y2, own_id2, own_nbr2,
-        srt_x_p.reshape(-1, _SUB, _LANE),
-        srt_y_p.reshape(-1, _SUB, _LANE),
-        srt_id_p,
+    )(order.wrow, order.wlen, *args)
+    # back to particle order the same way: sort keyed on the forward
+    # permutation (row j of the kernel output belongs to particle sidx[j])
+    _, fx, fy = jax.lax.sort(
+        (sidx, fx_s.reshape(-1)[:n], fy_s.reshape(-1)[:n]),
+        dimension=0, num_keys=1,
     )
-    # back to particle order via a ROW gather with the inverse permutation
-    # (two scalar scatters here cost 1.36 ms/stage at 116k; packing the
-    # components into 8-wide rows and row-gathering is ~3x cheaper)
-    packed = (
-        jnp.zeros((n_pad, 8), jnp.float32)
-        .at[:, 0].set(fx_s.reshape(-1))
-        .at[:, 1].set(fy_s.reshape(-1))
-    )
-    out = packed[order.inv_idx]
-    return out[:, :2]
+    return jnp.stack([fx, fy], axis=-1)
