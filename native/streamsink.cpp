@@ -1,0 +1,331 @@
+// streamsink: native HTTP MJPEG server for live viewing of engine frames.
+//
+// The reference presents frames in a native OS window (winit/Vulkan
+// swapchain, reference: src/boilerplate.rs + src/debugui.rs).  On a headless
+// TPU host there is no display, so the TPU-native analog is a push stream: an
+// embedded HTTP server that serves multipart/x-mixed-replace JPEG
+// (the de-facto "MJPEG over HTTP" protocol every browser understands).
+// Point a browser at http://host:port/ and the simulation is live.
+//
+// Architecture (all off the simulation thread, mirroring framesink.cpp):
+//   * submit() copies the RGB frame into a latest-wins slot (never blocks on
+//     slow clients; the sim thread pays one memcpy).
+//   * one encoder thread JPEG-compresses the newest slot (libjpeg, custom
+//     in-memory destination) and bumps a sequence number.
+//   * one accept thread + one thread per client; each client thread waits on
+//     the sequence number and writes boundary + JPEG part.  Slow clients
+//     skip frames (they always get the newest encoded frame, never a queue).
+//
+// C API (ctypes-friendly):
+//   void* ss_create(int port, int width, int height, int quality);
+//   int   ss_port(void* h);           // actual bound port (for port=0)
+//   int   ss_submit(void* h, const unsigned char* rgb);  // w*h*3 bytes
+//   long  ss_clients(void* h);
+//   long  ss_frames(void* h);         // frames encoded so far
+//   void  ss_close(void* h);
+//
+// Build: g++ -O2 -shared -fPIC -o libstreamsink.so streamsink.cpp -ljpeg -lpthread
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+// ---- in-memory libjpeg destination (portable: jpeg_mem_dest is not part
+// of the 62 ABI everywhere) ----
+struct VecDest {
+  jpeg_destination_mgr mgr;
+  std::vector<uint8_t>* out;
+  uint8_t buf[16384];
+};
+
+void dest_init(j_compress_ptr c) {
+  VecDest* d = reinterpret_cast<VecDest*>(c->dest);
+  d->mgr.next_output_byte = d->buf;
+  d->mgr.free_in_buffer = sizeof(d->buf);
+}
+
+boolean dest_empty(j_compress_ptr c) {
+  VecDest* d = reinterpret_cast<VecDest*>(c->dest);
+  d->out->insert(d->out->end(), d->buf, d->buf + sizeof(d->buf));
+  d->mgr.next_output_byte = d->buf;
+  d->mgr.free_in_buffer = sizeof(d->buf);
+  return TRUE;
+}
+
+void dest_term(j_compress_ptr c) {
+  VecDest* d = reinterpret_cast<VecDest*>(c->dest);
+  d->out->insert(d->out->end(), d->buf,
+                 d->buf + (sizeof(d->buf) - d->mgr.free_in_buffer));
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr c) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(c->err);
+  longjmp(e->jump, 1);
+}
+
+bool encode_jpeg(const uint8_t* rgb, int w, int h, int quality,
+                 std::vector<uint8_t>& out) {
+  out.clear();
+  jpeg_compress_struct c;
+  JpegErr err;
+  c.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_compress(&c);
+    return false;
+  }
+  jpeg_create_compress(&c);
+  VecDest dest;
+  dest.out = &out;
+  dest.mgr.init_destination = dest_init;
+  dest.mgr.empty_output_buffer = dest_empty;
+  dest.mgr.term_destination = dest_term;
+  c.dest = &dest.mgr;
+  c.image_width = w;
+  c.image_height = h;
+  c.input_components = 3;
+  c.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&c);
+  jpeg_set_quality(&c, quality, TRUE);
+  jpeg_start_compress(&c, TRUE);
+  while (c.next_scanline < c.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(rgb + c.next_scanline * w * 3);
+    jpeg_write_scanlines(&c, &row, 1);
+  }
+  jpeg_finish_compress(&c);
+  jpeg_destroy_compress(&c);
+  return true;
+}
+
+constexpr const char* kBoundary = "spacetimeframe";
+
+const char* kIndexHtml =
+    "<!doctype html><html><head><title>spacetime_tpu live</title>"
+    "<style>body{margin:0;background:#111;display:flex;align-items:center;"
+    "justify-content:center;height:100vh}img{max-width:100%;max-height:100%}"
+    "</style></head><body><img src=\"/stream\"></body></html>";
+
+struct StreamSink {
+  int width, height, quality;
+  int listen_fd = -1;
+  int port = 0;
+
+  std::mutex raw_mu;
+  std::condition_variable raw_cv;
+  std::vector<uint8_t> raw_slot;  // latest submitted frame (latest wins)
+  bool raw_fresh = false;
+
+  std::mutex enc_mu;
+  std::condition_variable enc_cv;
+  std::vector<uint8_t> jpeg;  // latest encoded frame
+  uint64_t seq = 0;
+
+  std::atomic<long> n_clients{0};
+  std::atomic<long> n_frames{0};
+  std::atomic<bool> closing{false};
+
+  std::thread encoder;
+  std::thread acceptor;
+  std::vector<std::thread> clients;
+  std::mutex clients_mu;
+
+  void encode_loop() {
+    std::vector<uint8_t> local;
+    std::vector<uint8_t> out;
+    while (true) {
+      {
+        std::unique_lock<std::mutex> lk(raw_mu);
+        raw_cv.wait(lk, [&] { return raw_fresh || closing.load(); });
+        if (closing.load()) return;
+        local.swap(raw_slot);
+        raw_slot.resize(local.size());
+        raw_fresh = false;
+      }
+      if (!encode_jpeg(local.data(), width, height, quality, out)) continue;
+      {
+        std::lock_guard<std::mutex> lk(enc_mu);
+        jpeg = out;
+        ++seq;
+      }
+      n_frames.fetch_add(1);
+      enc_cv.notify_all();
+    }
+  }
+
+  static bool send_all(int fd, const void* data, size_t len) {
+    const char* p = static_cast<const char*>(data);
+    while (len > 0) {
+      ssize_t k = ::send(fd, p, len, MSG_NOSIGNAL);
+      if (k <= 0) return false;
+      p += k;
+      len -= static_cast<size_t>(k);
+    }
+    return true;
+  }
+
+  void client_loop(int fd) {
+    n_clients.fetch_add(1);
+    // minimal request parse: first line up to CRLF, ignore headers
+    std::string req;
+    char ch;
+    while (req.size() < 4096 && req.find("\r\n\r\n") == std::string::npos) {
+      ssize_t k = ::recv(fd, &ch, 1, 0);
+      if (k <= 0) break;
+      req.push_back(ch);
+    }
+    bool stream = req.compare(0, 11, "GET /stream") == 0;
+    if (!stream) {
+      std::string body = kIndexHtml;
+      char hdr[256];
+      std::snprintf(hdr, sizeof(hdr),
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "Content-Length: %zu\r\nConnection: close\r\n\r\n",
+                    body.size());
+      send_all(fd, hdr, std::strlen(hdr));
+      send_all(fd, body.data(), body.size());
+    } else {
+      const char* hdr =
+          "HTTP/1.1 200 OK\r\n"
+          "Content-Type: multipart/x-mixed-replace; boundary=spacetimeframe\r\n"
+          "Cache-Control: no-cache\r\nConnection: close\r\n\r\n";
+      if (!send_all(fd, hdr, std::strlen(hdr))) goto done;
+      {
+        uint64_t last = 0;
+        std::vector<uint8_t> frame;
+        while (!closing.load()) {
+          {
+            std::unique_lock<std::mutex> lk(enc_mu);
+            enc_cv.wait(lk, [&] { return seq != last || closing.load(); });
+            if (closing.load()) break;
+            frame = jpeg;
+            last = seq;
+          }
+          char part[128];
+          std::snprintf(part, sizeof(part),
+                        "--%s\r\nContent-Type: image/jpeg\r\n"
+                        "Content-Length: %zu\r\n\r\n",
+                        kBoundary, frame.size());
+          if (!send_all(fd, part, std::strlen(part))) break;
+          if (!send_all(fd, frame.data(), frame.size())) break;
+          if (!send_all(fd, "\r\n", 2)) break;
+        }
+      }
+    }
+  done:
+    ::close(fd);
+    n_clients.fetch_sub(1);
+  }
+
+  void accept_loop() {
+    while (!closing.load()) {
+      sockaddr_in peer{};
+      socklen_t len = sizeof(peer);
+      int fd = ::accept(listen_fd, reinterpret_cast<sockaddr*>(&peer), &len);
+      if (fd < 0) {
+        if (closing.load()) return;
+        continue;
+      }
+      int one = 1;
+      setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      std::lock_guard<std::mutex> lk(clients_mu);
+      clients.emplace_back([this, fd] { client_loop(fd); });
+    }
+  }
+
+  bool start(int want_port) {
+    listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (listen_fd < 0) return false;
+    int one = 1;
+    setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    addr.sin_port = htons(static_cast<uint16_t>(want_port));
+    if (::bind(listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0)
+      return false;
+    if (::listen(listen_fd, 8) != 0) return false;
+    socklen_t len = sizeof(addr);
+    getsockname(listen_fd, reinterpret_cast<sockaddr*>(&addr), &len);
+    port = ntohs(addr.sin_port);
+    raw_slot.resize(static_cast<size_t>(width) * height * 3);
+    encoder = std::thread([this] { encode_loop(); });
+    acceptor = std::thread([this] { accept_loop(); });
+    return true;
+  }
+
+  void stop() {
+    closing.store(true);
+    raw_cv.notify_all();
+    enc_cv.notify_all();
+    if (listen_fd >= 0) ::shutdown(listen_fd, SHUT_RDWR);
+    if (listen_fd >= 0) ::close(listen_fd);
+    if (encoder.joinable()) encoder.join();
+    if (acceptor.joinable()) acceptor.join();
+    std::lock_guard<std::mutex> lk(clients_mu);
+    for (auto& t : clients)
+      if (t.joinable()) t.join();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ss_create(int port, int width, int height, int quality) {
+  auto* s = new StreamSink();
+  s->width = width;
+  s->height = height;
+  s->quality = quality > 0 && quality <= 100 ? quality : 85;
+  if (!s->start(port)) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+int ss_port(void* h) { return static_cast<StreamSink*>(h)->port; }
+
+int ss_submit(void* h, const unsigned char* rgb) {
+  auto* s = static_cast<StreamSink*>(h);
+  {
+    std::lock_guard<std::mutex> lk(s->raw_mu);
+    std::memcpy(s->raw_slot.data(), rgb, s->raw_slot.size());
+    s->raw_fresh = true;
+  }
+  s->raw_cv.notify_one();
+  return 0;
+}
+
+long ss_clients(void* h) { return static_cast<StreamSink*>(h)->n_clients.load(); }
+
+long ss_frames(void* h) { return static_cast<StreamSink*>(h)->n_frames.load(); }
+
+void ss_close(void* h) {
+  auto* s = static_cast<StreamSink*>(h);
+  s->stop();
+  delete s;
+}
+
+}  // extern "C"

@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--realtime", action="store_true",
                     help="pace to max_fps (reference: main.rs:78-83)")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="live MJPEG view at http://host:PORT/ (0 = any port; "
+                         "the headless analog of the reference's native "
+                         "window, native/streamsink.cpp)")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,23 +72,38 @@ def main(argv=None) -> int:
 
     on_frame = None
     sink = None
-    if args.out:
-        from .utils.framesink import FrameSink
+    stream = None
+    if args.out or args.serve is not None:
 
         def on_frame(i, img):
-            nonlocal sink
-            if i % args.every == 0:
-                import numpy as np
+            nonlocal sink, stream
+            if i % args.every != 0:
+                return
+            import numpy as np
 
-                arr = np.asarray(img)
+            arr = np.asarray(img)
+            if args.out:
+                from .utils.framesink import FrameSink
+
                 if sink is None:  # sized from the actual frame (retina
                     # strips differ from the config's nominal W x H)
                     sink = FrameSink(args.out, arr.shape[1], arr.shape[0])
                 sink.submit(i, arr)
+            if args.serve is not None:
+                from .utils.streamsink import StreamSink
+
+                if stream is None:
+                    stream = StreamSink(args.serve, arr.shape[1], arr.shape[0])
+                    print(f"# live view: http://0.0.0.0:{stream.port}/"
+                          f" ({'native' if stream.native else 'python'})",
+                          file=sys.stderr)
+                stream.submit(arr)
 
     summary = eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
     if sink is not None:
         sink.close()
+    if stream is not None:
+        stream.close()
     if args.save:
         eng.save_checkpoint(args.save)
     if args.stats or not args.out:

@@ -1,0 +1,108 @@
+"""HTTP MJPEG live-view sink: native server end-to-end over a real socket."""
+
+import io
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from spacetime_tpu.utils.streamsink import StreamSink
+
+
+def _read_headers(sock_file):
+    headers = {}
+    status = sock_file.readline().decode()
+    while True:
+        line = sock_file.readline().decode()
+        if line in ("\r\n", "\n", ""):
+            break
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers
+
+
+def _read_part(sock_file):
+    """Read one multipart frame: boundary line, part headers, JPEG bytes."""
+    while True:
+        line = sock_file.readline()
+        if not line:
+            raise AssertionError("stream closed before a part arrived")
+        if line.strip().startswith(b"--spacetimeframe"):
+            break
+    headers = {}
+    while True:
+        line = sock_file.readline().decode()
+        if line in ("\r\n", "\n"):
+            break
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    n = int(headers["content-length"])
+    data = sock_file.read(n)
+    assert len(data) == n
+    return headers, data
+
+
+@pytest.fixture(scope="module")
+def sink():
+    s = StreamSink(port=0, width=64, height=48, quality=90)
+    yield s
+    s.close()
+
+
+def test_native_build(sink):
+    # g++ and libjpeg are in the image: the native path must engage
+    assert sink.native
+
+
+def test_index_page(sink):
+    with socket.create_connection(("127.0.0.1", sink.port), timeout=5) as c:
+        c.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        f = c.makefile("rb")
+        status, headers = _read_headers(f)
+        assert "200" in status
+        body = f.read(int(headers["content-length"]))
+        assert b"/stream" in body
+
+
+def test_stream_delivers_submitted_frame(sink):
+    rgb = np.zeros((48, 64, 3), np.uint8)
+    rgb[:, :32] = (255, 0, 0)  # left half red
+    rgb[:, 32:] = (0, 0, 255)  # right half blue
+
+    with socket.create_connection(("127.0.0.1", sink.port), timeout=5) as c:
+        c.sendall(b"GET /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+        f = c.makefile("rb")
+        status, headers = _read_headers(f)
+        assert "200" in status
+        assert "multipart/x-mixed-replace" in headers["content-type"]
+
+        # submit a few frames (latest-wins slot: keep submitting until the
+        # encoder has published one)
+        deadline = time.time() + 10
+        while sink.frames_encoded == 0 and time.time() < deadline:
+            sink.submit(rgb)
+            time.sleep(0.02)
+        part_headers, data = _read_part(f)
+        assert part_headers["content-type"] == "image/jpeg"
+        assert data[:2] == b"\xff\xd8"  # JPEG SOI
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert img.shape == (48, 64, 3)
+        # JPEG is lossy: check the halves' dominant channels
+        left, right = img[:, :28], img[:, 36:]
+        assert left[..., 0].mean() > 180 and left[..., 2].mean() < 80
+        assert right[..., 2].mean() > 180 and right[..., 0].mean() < 80
+
+
+def test_float_frames_and_frame_counter(sink):
+    before = sink.frames_encoded
+    frame = np.zeros((48, 64, 3), np.float32)
+    frame[..., 1] = 0.5
+    deadline = time.time() + 10
+    while sink.frames_encoded <= before and time.time() < deadline:
+        sink.submit(frame)
+        time.sleep(0.02)
+    assert sink.frames_encoded > before
