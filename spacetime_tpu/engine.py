@@ -99,6 +99,9 @@ class Engine:
         # debugui.rs:9-23: editable max-FPS in the overlay); mutated by the
         # viewer at runtime without touching the frozen config
         self.hotswap = {"max_fps": float(config.max_fps)}
+        # optional utils.replay.ReplayRecorder: logs per-frame inputs for
+        # bit-exact session replay (no reference analog — debugging aid)
+        self.recorder = None
         self.stats = StatsWindow()
         self.last_aux = None
         self.last_diag = None
@@ -371,6 +374,8 @@ class Engine:
         t0 = time.perf_counter()
         cfg = self.config
         frame_dt = cfg.physics.h * cfg.steps_per_frame
+        if self.recorder is not None:
+            self.recorder.record(self.frame, keys, self.hotswap)
         if keys:
             self.camera = self.controller.update(self.camera, keys, frame_dt)
             if keys.get("p"):
