@@ -89,6 +89,15 @@ class Engine:
             capacity=particles.capacity, params=config.physics,
             spring_offsets=spring_offsets,
         )
+        # per-particle material planes (None when everything is default)
+        self.materials = None
+        if config.materials is not None:
+            from .ops import materials as materials_ops
+
+            self.materials = materials_ops.particle_materials(
+                config.materials, objects.material_index,
+                particles.object_index,
+            )
         self.worldline = wl.create(config.history, particles.capacity)
         self.camera = Camera.create(config.cam_pos, config.cam_zoom, config.cam_vel)
         self.controller = CameraController()
@@ -201,6 +210,7 @@ class Engine:
             return cache[key]
         cfg = self.config
         model, objects = self.model, self.objects
+        mats = self.materials
         mode = cfg.render_mode
         spf = cfg.steps_per_frame
         h = jnp.float32(cfg.physics.h)
@@ -211,14 +221,14 @@ class Engine:
 
         def frame(particles, buf, cam, t_prev):
             if spf == 1:
-                particles, aux = model.step(particles)
+                particles, aux = model.step(particles, mats)
                 buf = wl.push_frame(buf, particles, t_prev + h)
             else:
                 # every intermediate tick is recorded in the ring so the
                 # retarded render sees a gap-free history
                 def body(carry, _):
                     p, b, t = carry
-                    p, aux = model.step(p)
+                    p, aux = model.step(p, mats)
                     t = t + h
                     b = wl.push_frame(b, p, t)
                     return (p, b, t), aux
@@ -255,7 +265,8 @@ class Engine:
 
     def step_physics(self) -> None:
         for _ in range(self.config.steps_per_frame):
-            self.particles, self.last_aux = self.model.step(self.particles)
+            self.particles, self.last_aux = self.model.step(
+                self.particles, self.materials)
             self.time += self.config.physics.h
             self._inject_aloof()
             self.worldline = wl.push_frame(
@@ -399,7 +410,8 @@ class Engine:
             step_t = wl_t = 0.0
             for _ in range(cfg.steps_per_frame):
                 ta = time.perf_counter()
-                self.particles, self.last_aux = self.model.step(self.particles)
+                self.particles, self.last_aux = self.model.step(
+                self.particles, self.materials)
                 jax.block_until_ready(self.particles.pos)
                 tb = time.perf_counter()
                 self.time += cfg.physics.h

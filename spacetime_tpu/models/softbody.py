@@ -60,9 +60,11 @@ class SoftbodyModel:
         return jnp.asarray(self.params.rest_lengths())
 
     @partial(jax.jit, static_argnames=("self",))
-    def step(self, particles: Particles) -> tuple[Particles, rk4_ops.StepAux]:
+    def step(self, particles: Particles, materials=None) -> tuple[Particles, rk4_ops.StepAux]:
         """One physics frame (grid rebuild + RK4) — `submit_per_frame_compute`
-        (reference: softbody/mod.rs:557-596)."""
+        (reference: softbody/mod.rs:557-596).  `materials` is an optional
+        ops.materials.ParticleMaterials pytree (per-particle stiffness /
+        damping / break-threshold planes)."""
         return rk4_ops.physics_step(
             particles,
             self.params,
@@ -74,10 +76,12 @@ class SoftbodyModel:
             self.spring_offsets,
             wmax=self.wmax,
             tile=self.tile,
+            materials=materials,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
-    def step_n(self, particles: Particles, n_steps: int) -> tuple[Particles, rk4_ops.StepAux]:
+    def step_n(self, particles: Particles, n_steps: int, materials=None
+               ) -> tuple[Particles, rk4_ops.StepAux]:
         """`n_steps` frames fused into one XLA program via lax.scan —
         the TPU-native equivalent of queueing multiple physics submissions
         without host round-trips."""
@@ -94,6 +98,7 @@ class SoftbodyModel:
                 self.spring_offsets,
                 wmax=self.wmax,
                 tile=self.tile,
+                materials=materials,
             )
             return p, aux
 

@@ -118,10 +118,24 @@ def spring_forces_rows(
     neighbors: jax.Array,  # (N, 8)
     rest_lengths: jax.Array,  # (8,)
     k: float,
+    k_pp=None,  # (N,) optional per-particle stiffness scale
+    c_pp=None,  # (N,) optional per-particle damping coefficient
+    vx=None,
+    vy=None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Hooke springs via row-gathered neighbor positions; returns (fx, fy)."""
+    """Hooke springs via row-gathered neighbor positions; returns (fx, fy).
+
+    With materials (ops/materials.py) the SAME single row gather also
+    carries the neighbor's k/c/velocity (spare row lanes), adding the
+    pairwise-mean stiffness scale and the projected spring-damper force."""
     n = px.shape[0]
     rows = pack_pos_rows(px, py)
+    with_mat = k_pp is not None or c_pp is not None
+    if with_mat:
+        if k_pp is not None:
+            rows = rows.at[:, 2].set(k_pp)
+        if c_pp is not None:
+            rows = rows.at[:, 3].set(c_pp).at[:, 4].set(vx).at[:, 5].set(vy)
     nbr = jnp.clip(neighbors, 0, n - 1)
     g = rows[nbr]  # (N, 8 slots, 8) — one row gather
     dx = px[:, None] - g[..., 0]
@@ -129,8 +143,19 @@ def spring_forces_rows(
     dist = jnp.sqrt(dx * dx + dy * dy)
     valid = neighbors >= 0
     inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
-    mag = jnp.where(valid, -k * (dist - rest_lengths[None, :]) * inv, 0.0)
-    return jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)
+    kk = k if k_pp is None else k * 0.5 * (k_pp[:, None] + g[..., 2])
+    mag = jnp.where(valid, -kk * (dist - rest_lengths[None, :]) * inv, 0.0)
+    fx = jnp.sum(mag * dx, axis=1)
+    fy = jnp.sum(mag * dy, axis=1)
+    if c_pp is not None:
+        dvx = vx[:, None] - g[..., 4]
+        dvy = vy[:, None] - g[..., 5]
+        inv2 = 1.0 / jnp.maximum(dx * dx + dy * dy, _EPS)
+        cc = 0.5 * (c_pp[:, None] + g[..., 3])
+        dmag = jnp.where(valid, -cc * (dvx * dx + dvy * dy) * inv2, 0.0)
+        fx = fx + jnp.sum(dmag * dx, axis=1)
+        fy = fy + jnp.sum(dmag * dy, axis=1)
+    return fx, fy
 
 
 def derive_spring_offsets(neighbors, max_offsets: int = 8):
@@ -162,13 +187,17 @@ def derive_spring_offsets(neighbors, max_offsets: int = 8):
     return tuple(out)
 
 
-def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k):
+def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k,
+                          k_pp=None):
     """Hooke springs with bonded positions read by static shifted slices —
     zero gathers.  For each (slot s, offset d), the mask nbr[:, s] == i + d
     selects exactly the particles whose slot-s bond is the +d shift; rolled
     reads are only consumed under that mask, so wraparound lanes and
     inactive 1e9 slots never contribute.  Equivalent to spring_forces_rows
-    (same formula, same per-slot rest lengths)."""
+    (same formula, same per-slot rest lengths).
+
+    `k_pp` (N,) optionally scales stiffness per particle (ops/materials.py);
+    the pair uses the endpoint mean so forces stay equal-and-opposite."""
     n = px.shape[0]
     iota = jnp.arange(n, dtype=neighbors.dtype)
     fx = jnp.zeros_like(px)
@@ -180,7 +209,33 @@ def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k):
             dy = py - jnp.roll(py, -d)
             dist = jnp.sqrt(dx * dx + dy * dy)
             inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
-            mag = jnp.where(sel, -k * (dist - rest_lengths[s]) * inv, 0.0)
+            kk = k if k_pp is None else k * 0.5 * (k_pp + jnp.roll(k_pp, -d))
+            mag = jnp.where(sel, -kk * (dist - rest_lengths[s]) * inv, 0.0)
+            fx = fx + mag * dx
+            fy = fy + mag * dy
+    return fx, fy
+
+
+def bond_damping_shifted(px, py, vx, vy, neighbors, offsets, c_pp):
+    """Spring-damper force along bonds, shifted-slice reads:
+    F_i = -c_ij ((v_i - v_j)·d̂) d̂ with c_ij = mean(c_i, c_j) — symmetric,
+    so total momentum is conserved.  Velocities are the step's ORIGINAL
+    velocities (the integrator evaluates every stage against them, see
+    ops/rk4.py module docstring)."""
+    n = px.shape[0]
+    iota = jnp.arange(n, dtype=neighbors.dtype)
+    fx = jnp.zeros_like(px)
+    fy = jnp.zeros_like(py)
+    for s, ds in enumerate(offsets):
+        for d in ds:
+            sel = neighbors[:, s] == iota + d
+            dx = px - jnp.roll(px, -d)
+            dy = py - jnp.roll(py, -d)
+            dvx = vx - jnp.roll(vx, -d)
+            dvy = vy - jnp.roll(vy, -d)
+            inv2 = 1.0 / jnp.maximum(dx * dx + dy * dy, _EPS)
+            cc = 0.5 * (c_pp + jnp.roll(c_pp, -d))
+            mag = jnp.where(sel, -cc * (dvx * dx + dvy * dy) * inv2, 0.0)
             fx = fx + mag * dx
             fy = fy + mag * dy
     return fx, fy
@@ -254,13 +309,21 @@ def total_forces_cells(
     idx_nbr: jax.Array,
     rest_lengths: jax.Array,
     params: PhysicsParams,
+    materials=None,  # ops.materials.ParticleMaterials
+    vel0=None,  # (N, 2) step-original velocities (damping only)
 ) -> jax.Array:
     """get_forces (softbodyrk4.glsl:84-143) on the dense cell table."""
     from . import grid as grid_ops
 
     px, py = pos[:, 0], pos[:, 1]
     xy_rows = grid_ops.scatter_plane_xy(table, px, py, 1.0e9)  # (n_cells+1, 2cap)
-    sfx, sfy = spring_forces_rows(px, py, neighbors, rest_lengths, params.k)
+    k_pp = c_pp = vx = vy = None
+    if materials is not None:
+        k_pp = materials.k_scale
+        if vel0 is not None:
+            c_pp, vx, vy = materials.damping, vel0[:, 0], vel0[:, 1]
+    sfx, sfy = spring_forces_rows(px, py, neighbors, rest_lengths, params.k,
+                                  k_pp=k_pp, c_pp=c_pp, vx=vx, vy=vy)
     cfx, cfy = collision_forces_cells(
         px, py, xy_rows, ncell, idx_nbr, neighbors,
         params.collision_distance, params.collision_repulsion_coefficient,

@@ -62,7 +62,7 @@ def _advance(pos0, vel0, forces, rest_mass, h_scale, params: PhysicsParams):
     return new_pos, new_vel
 
 
-def break_bonds(pos, neighbors, threshold):
+def break_bonds(pos, neighbors, threshold, break_scale=None):
     """Symmetric bond breaking from current positions
     (softbodyrk4.glsl:233-253).
 
@@ -71,16 +71,24 @@ def break_bonds(pos, neighbors, threshold):
     (reference: softbody/mod.rs:162-187) and distance is symmetric, a pure
     gather — each endpoint re-evaluating its own slots — removes exactly the
     same set of bonds with no scatter.
+
+    `break_scale` (N,) optionally scales the threshold per particle
+    (ops/materials.py); the pair takes the endpoint MIN so both endpoints
+    agree (the weaker material fails first) and breaking stays symmetric.
     """
     n = pos.shape[0]
     valid = neighbors >= 0
-    nbr_pos = pos[jnp.clip(neighbors, 0, n - 1)]
+    clipped = jnp.clip(neighbors, 0, n - 1)
+    nbr_pos = pos[clipped]
     dist = jnp.linalg.norm(pos[:, None, :] - nbr_pos, axis=-1)
-    broke = valid & (dist > threshold)
+    thr = threshold
+    if break_scale is not None:
+        thr = threshold * jnp.minimum(break_scale[:, None], break_scale[clipped])
+    broke = valid & (dist > thr)
     return jnp.where(broke, -1, neighbors), jnp.sum(broke.astype(jnp.int32))
 
 
-def break_bonds_shifted(pos, neighbors, offsets, threshold):
+def break_bonds_shifted(pos, neighbors, offsets, threshold, break_scale=None):
     """break_bonds with bonded positions read by static shifted slices (same
     masking rule as forces.spring_forces_shifted) — no (N, 8, 2) gather."""
     px, py = pos[:, 0], pos[:, 1]
@@ -96,7 +104,12 @@ def break_bonds_shifted(pos, neighbors, offsets, threshold):
             dx = px - jnp.roll(px, -d)
             dy = py - jnp.roll(py, -d)
             dist = jnp.sqrt(dx * dx + dy * dy)
-            broke_s = broke_s | (sel & (dist > threshold))
+            thr = threshold
+            if break_scale is not None:
+                thr = threshold * jnp.minimum(
+                    break_scale, jnp.roll(break_scale, -d)
+                )
+            broke_s = broke_s | (sel & (dist > thr))
         cols.append(jnp.where(broke_s, -1, col))
         n_broken = n_broken + jnp.sum(broke_s.astype(jnp.int32))
     return jnp.stack(cols, axis=1), n_broken
@@ -191,6 +204,7 @@ def physics_step(
     pallas_interpret: bool = False,
     wmax: int = 4096,
     tile: int = 256,
+    materials=None,  # ops.materials.ParticleMaterials (optional pytree)
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -237,10 +251,11 @@ def physics_step(
                 exclude_bonds=exclude_in_kernel,
                 interpret=pallas_interpret,
             )
+            k_pp = materials.k_scale if materials is not None else None
             if spring_offsets is not None:
                 sfx, sfy = forces_ops.spring_forces_shifted(
                     pos[:, 0], pos[:, 1], nbr, spring_offsets, rest_lengths,
-                    params.k,
+                    params.k, k_pp=k_pp,
                 )
                 bfx, bfy = forces_ops.bonded_repulsion_shifted(
                     pos[:, 0], pos[:, 1], nbr, spring_offsets,
@@ -248,9 +263,19 @@ def physics_step(
                     params.collision_repulsion_coefficient,
                 )
                 sfx, sfy = sfx - bfx, sfy - bfy
+                if materials is not None:
+                    dfx, dfy = forces_ops.bond_damping_shifted(
+                        pos[:, 0], pos[:, 1], vel0[:, 0], vel0[:, 1], nbr,
+                        spring_offsets, materials.damping,
+                    )
+                    sfx, sfy = sfx + dfx, sfy + dfy
             else:
+                c_pp = materials.damping if materials is not None else None
                 sfx, sfy = forces_ops.spring_forces_rows(
-                    pos[:, 0], pos[:, 1], nbr, rest_lengths, params.k
+                    pos[:, 0], pos[:, 1], nbr, rest_lengths, params.k,
+                    k_pp=k_pp, c_pp=c_pp,
+                    vx=vel0[:, 0] if c_pp is not None else None,
+                    vy=vel0[:, 1] if c_pp is not None else None,
                 )
             return coll + jnp.stack([sfx, sfy], axis=-1)
 
@@ -266,7 +291,8 @@ def physics_step(
 
         def F(pos):
             return forces_ops.total_forces_cells(
-                pos, nbr, table, ncell, idx_nbr, rest_lengths, params
+                pos, nbr, table, ncell, idx_nbr, rest_lengths, params,
+                materials=materials, vel0=vel0,
             )
 
     if integrator == "euler":
@@ -301,13 +327,15 @@ def physics_step(
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     vel = jnp.where(speed >= 1.0, vel / jnp.maximum(speed, 1e-20) * params.max_speed, vel)
     pos = pos0 + vel * h
+    brk_pp = materials.break_scale if materials is not None else None
     if spring_offsets is not None:
         new_neighbors, n_broken = break_bonds_shifted(
-            pos0, nbr, spring_offsets, params.bond_break_threshold
+            pos0, nbr, spring_offsets, params.bond_break_threshold,
+            break_scale=brk_pp,
         )
     else:
         new_neighbors, n_broken = break_bonds(
-            pos0, nbr, params.bond_break_threshold
+            pos0, nbr, params.bond_break_threshold, break_scale=brk_pp
         )
 
     act = particles.active[:, None]

@@ -53,6 +53,9 @@ class EngineConfig:
     stage_timing: bool = False
     # read StepAux/RenderDiag every N frames: warn + adapt band/bin capacity
     diag_every: int = 30
+    # per-material (k_scale, damping, break_scale) rows indexed by the
+    # objects' material_index (ops/materials.py); None = one default material
+    materials: Optional[Tuple[Tuple[float, float, float], ...]] = None
 
 
 def _blob(count, offset, vel, rgb):

@@ -1,0 +1,164 @@
+"""Per-object materials: stiffness scale, bond damping, break-threshold scale.
+
+No reference analog (the reference's material_index only shades,
+src/twoplusone/softbody/mod.rs:191-221); the physics semantics under test are
+this engine's: pairwise-mean stiffness/damping (symmetric — momentum
+conserving), pairwise-min break scale (weaker material fails first).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetime_tpu import scene
+from spacetime_tpu.constants import DEFAULT_PARAMS
+from spacetime_tpu.models.softbody import SoftbodyModel
+from spacetime_tpu.ops import forces as forces_ops
+from spacetime_tpu.ops import materials as materials_ops
+from spacetime_tpu.ops import rk4 as rk4_ops
+
+
+def _two_blob(pad=True):
+    sb = scene.SceneBuilder()
+    sb.add(scene.disc_softbody(4, 0, (0.0, 0.0), (0.05, 0.0), lattice_pad=pad),
+           material_index=0)
+    sb.add(scene.disc_softbody(4, 1, (0.08, 0.0), (-0.05, 0.0), lattice_pad=pad),
+           material_index=1)
+    return sb.build(capacity=512)
+
+
+def _mats(p, objects, table):
+    return materials_ops.particle_materials(
+        table, objects.material_index, p.object_index
+    )
+
+
+def test_default_table_collapses_to_none():
+    p, objects = _two_blob()
+    assert _mats(p, objects, [(1.0, 0.0, 1.0), (1.0, 0.0, 1.0)]) is None
+
+
+def test_default_materials_match_material_free_step():
+    p, objects = _two_blob()
+    model = SoftbodyModel(capacity=p.capacity)
+    # explicit near-default planes (not collapsed to None) must not change
+    # the trajectory
+    mats = materials_ops.ParticleMaterials(
+        k_scale=jnp.ones(p.capacity), damping=jnp.zeros(p.capacity),
+        break_scale=jnp.ones(p.capacity),
+    )
+    a, _ = model.step(p)
+    b, _ = model.step(p, mats)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_k_scale_halves_spring_force_shifted():
+    p, objects = _two_blob()
+    offsets = forces_ops.derive_spring_offsets(np.asarray(p.neighbors))
+    rest = jnp.asarray(DEFAULT_PARAMS.rest_lengths())
+    # stretch the lattice slightly so springs are loaded
+    pos = p.pos * 1.01
+    px, py = pos[:, 0], pos[:, 1]
+    fx1, fy1 = forces_ops.spring_forces_shifted(
+        px, py, p.neighbors, offsets, rest, DEFAULT_PARAMS.k
+    )
+    half = jnp.full((p.capacity,), 0.5)
+    fx2, fy2 = forces_ops.spring_forces_shifted(
+        px, py, p.neighbors, offsets, rest, DEFAULT_PARAMS.k, k_pp=half
+    )
+    act = np.asarray(p.active)
+    np.testing.assert_allclose(np.asarray(fx2)[act], 0.5 * np.asarray(fx1)[act],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fy2)[act], 0.5 * np.asarray(fy1)[act],
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(fx1)[act]).max() > 1.0
+
+
+def test_rows_path_matches_shifted_with_materials(rng):
+    p, objects = _two_blob()
+    offsets = forces_ops.derive_spring_offsets(np.asarray(p.neighbors))
+    rest = jnp.asarray(DEFAULT_PARAMS.rest_lengths())
+    pos = p.pos * 1.005
+    vel = jnp.asarray(
+        rng.uniform(-0.05, 0.05, (p.capacity, 2)).astype(np.float32)
+    )
+    mats = _mats(p, objects, [(1.0, 0.0, 1.0), (0.5, 3.0, 0.7)])
+    px, py = pos[:, 0], pos[:, 1]
+    sfx, sfy = forces_ops.spring_forces_shifted(
+        px, py, p.neighbors, offsets, rest, DEFAULT_PARAMS.k,
+        k_pp=mats.k_scale,
+    )
+    dfx, dfy = forces_ops.bond_damping_shifted(
+        px, py, vel[:, 0], vel[:, 1], p.neighbors, offsets, mats.damping
+    )
+    rfx, rfy = forces_ops.spring_forces_rows(
+        px, py, p.neighbors, rest, DEFAULT_PARAMS.k,
+        k_pp=mats.k_scale, c_pp=mats.damping, vx=vel[:, 0], vy=vel[:, 1],
+    )
+    act = np.asarray(p.active)
+    np.testing.assert_allclose(
+        np.asarray(sfx + dfx)[act], np.asarray(rfx)[act], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sfy + dfy)[act], np.asarray(rfy)[act], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_damping_dissipates_bond_oscillation():
+    # two bonded particles pulled apart: with damping the relative velocity
+    # decays faster than without
+    pos = np.full((8, 2), 1e9, np.float32)
+    vel = np.zeros((8, 2), np.float32)
+    nbr = np.full((8, 8), -1, np.int32)
+    pos[0], pos[1] = (0.0, 0.0), (DEFAULT_PARAMS.rest_lengths()[0], 0.0)
+    vel[0], vel[1] = (-0.02, 0.0), (0.02, 0.0)  # separating along the bond
+    nbr[0, 0], nbr[1, 1] = 1, 0  # slot layout: 0 = +x neighbor, 1 = -x
+    from spacetime_tpu.state import pack_particles
+
+    p = pack_particles(pos[:2], vel[:2], nbr[:2],
+                       np.zeros(2, np.int32), capacity=8)
+    model = SoftbodyModel(capacity=8)
+    mats = materials_ops.ParticleMaterials(
+        k_scale=jnp.ones(8), damping=jnp.full((8,), 5.0),
+        break_scale=jnp.ones(8),
+    )
+
+    rest = float(DEFAULT_PARAMS.rest_lengths()[0])
+    k = DEFAULT_PARAMS.k
+
+    def oscillation_energy(m, steps=25):
+        # phase-invariant: reduced-mass kinetic + spring potential energy
+        q = p
+        for _ in range(steps):
+            q, _ = model.step(q, m)
+        v, x = np.asarray(q.vel), np.asarray(q.pos)
+        vrel = v[1, 0] - v[0, 0]
+        stretch = abs(x[1, 0] - x[0, 0]) - rest
+        return 0.5 * 0.5 * vrel**2 + 0.5 * k * stretch**2
+
+    undamped = oscillation_energy(None)
+    damped = oscillation_energy(mats)
+    assert damped < 0.5 * undamped
+
+
+def test_break_scale_pairwise_min_breaks_weak_object_first():
+    params = DEFAULT_PARAMS
+    rest0 = params.rest_lengths()[0]
+    # bond stretched to 93% of the break threshold: survives at scale 1.0,
+    # breaks when either endpoint scales the threshold below 0.93
+    stretch = 0.93 * params.bond_break_threshold
+    pos = jnp.asarray([[0.0, 0.0], [stretch, 0.0]], jnp.float32)
+    nbr = jnp.asarray([[1, -1, -1, -1, -1, -1, -1, -1],
+                       [0, -1, -1, -1, -1, -1, -1, -1]], jnp.int32)
+    ones = jnp.ones((2,))
+    kept, n = rk4_ops.break_bonds(pos, nbr, params.bond_break_threshold,
+                                  break_scale=ones)
+    assert int(n) == 0
+    weak = jnp.asarray([1.0, 0.8])  # endpoint 1 is the weaker material
+    kept, n = rk4_ops.break_bonds(pos, nbr, params.bond_break_threshold,
+                                  break_scale=weak)
+    assert int(n) == 2  # symmetric: BOTH directed slots removed
+    assert int(kept[0, 0]) == -1 and int(kept[1, 0]) == -1
