@@ -365,12 +365,33 @@ class Engine:
 
             if cfg.defect is None:
                 raise ValueError("render_mode='conical' requires config.defect")
-            defect = curved.ConicalDefect.create(*cfg.defect)
             return curved.render_retarded_conical(
                 self.worldline, self.particles.object_index, self.objects,
-                self.camera, defect, cfg.width, cfg.height, rparams,
+                self.camera, self._defects(), cfg.width, cfg.height, rparams,
             )
         raise ValueError(f"unknown render mode {mode!r}")
+
+    def _defects(self):
+        """ConicalDefect tuple from config.defect — a single ((cx,cy),
+        deficit) spec or a tuple of them — with quasi-static motion applied
+        (config.defect_vel, see ops/curved.py module docstring)."""
+        from .ops import curved
+
+        cfg = self.config
+        spec = cfg.defect
+        # single spec: ((cx,cy), deficit) -> spec[0][0] is a number;
+        # multi:  (((cx,cy), d), ...)     -> spec[0][0] is a tuple
+        if isinstance(spec[0][0], (tuple, list)):
+            specs = tuple(spec)
+        else:
+            specs = (spec,)
+        vels = cfg.defect_vel or ((0.0, 0.0),) * len(specs)
+        out = []
+        for ((cx, cy), deficit), (vx, vy) in zip(specs, vels):
+            out.append(curved.ConicalDefect.create(
+                (cx + vx * self.time, cy + vy * self.time), deficit
+            ))
+        return tuple(out)
 
     def run_frame(self, keys: Optional[Dict] = None) -> jax.Array:
         """One full frame: camera -> physics -> worldline -> render -> stats.

@@ -38,6 +38,14 @@ Modeling choices (documented limitations):
   * The rotation sign is taken per candidate/pixel from its bearing relative
     to the camera; paths grazing d_phi ≈ 0 or pi can pick the wrong image
     for occlusion (oracle tests budget the resulting pixel drift).
+  * MULTI-DEFECT scenes (a tuple of defects) use the single-scattering
+    superposition: routes = the direct ray plus one around-the-back route
+    per defect; paths bending around two or more defects in sequence are
+    neglected.  Valid when defects are well separated relative to the scene
+    (each extra scattering adds a route longer by O(defect separation)).
+  * DEFECT MOTION is quasi-static: each frame renders with the defect at
+    its current position (engine-level trajectory), neglecting the
+    retardation of the geometry change itself.
 """
 
 from __future__ import annotations
@@ -170,21 +178,24 @@ def render_retarded_conical(
     obj_index: jax.Array,
     objects: Objects,
     cam: Camera,
-    defect: ConicalDefect,
+    defect,  # ConicalDefect | tuple[ConicalDefect, ...]
     width: int,
     height: int,
     params: RenderParams,
     planar: bool = False,
 ) -> jax.Array:
     """Retarded render with conical-defect geodesics: each pixel can show
-    matter via the direct route OR the around-the-back route (double images
-    with different retarded times); the shortest VISIBLE route wins.
+    matter via the direct route or any defect's around-the-back route
+    (multiple images with different retarded times); the shortest VISIBLE
+    route wins.
 
-    Opaque mode (params.opaque) marches TWO 1D occlusion retinas — the flat
-    one for route 1 and one over route-2-imaged (rotated) candidates — and
-    shades each route with its true arrival direction and parallel-
-    transported emitter velocity (see module docstring).
+    Opaque mode (params.opaque) marches one 1D occlusion retina PER ROUTE —
+    the flat one for the direct route and one over route-2-imaged (rotated)
+    candidates per defect — and shades each route with its true arrival
+    direction and parallel-transported emitter velocity.  Multi-defect
+    scenes use the single-scattering superposition (module docstring).
     """
+    defects = defect if isinstance(defect, (tuple, list)) else (defect,)
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
@@ -193,23 +204,21 @@ def render_retarded_conical(
     # One band search per geodesic ROUTE (each route length is monotone in
     # age because |v| < c), pairs concatenated into one table.
     def l1_of(qx, qy):
-        return geodesic_lengths_xy(qx, qy, cxm, cym, defect)[0]
+        return jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
 
-    def l2_of(qx, qy):
-        return geodesic_lengths_xy(qx, qy, cxm, cym, defect)[1]
+    def l2_of(d):
+        return lambda qx, qy: geodesic_lengths_xy(qx, qy, cxm, cym, d)[1]
 
-    pairs1, _tr1 = _band_pairs(
-        buf, obj_index, objects, cam, t_now, width, height, params,
-        route_lengths=l1_of,
-    )
-    pairs2, _tr2 = _band_pairs(
-        buf, obj_index, objects, cam, t_now, width, height, params,
-        route_lengths=l2_of,
-    )
+    route_fns = [l1_of] + [l2_of(d) for d in defects]
+    plist = [
+        _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
+                    params, route_lengths=fn)[0]
+        for fn in route_fns
+    ]
     pairs = PairData(
-        pdata=jnp.concatenate([pairs1.pdata, pairs2.pdata], axis=0),
-        pair_valid=jnp.concatenate([pairs1.pair_valid, pairs2.pair_valid]),
-        n_pairs=pairs1.n_pairs + pairs2.n_pairs,
+        pdata=jnp.concatenate([p.pdata for p in plist], axis=0),
+        pair_valid=jnp.concatenate([p.pair_valid for p in plist]),
+        n_pairs=sum(p.n_pairs for p in plist),
     )
     from .raytrace import _compact_pairs_to_budget
 
@@ -223,11 +232,14 @@ def render_retarded_conical(
     # --- per-route occlusion retinas (opaque mode) ---
     n_rays = params.num_rays
     if use_rays:
-        s1 = _retina(pairs, cam, t_now, params)
-        s2 = _retina(_route2_image_pairs(pairs, cam, defect), cam, t_now,
-                     params)
-        s1_rows = jnp.broadcast_to(s1[:, None], (n_rays, 8))
-        s2_rows = jnp.broadcast_to(s2[:, None], (n_rays, 8))
+        retinas = [_retina(pairs, cam, t_now, params)]
+        for d in defects:
+            retinas.append(
+                _retina(_route2_image_pairs(pairs, cam, d), cam, t_now, params)
+            )
+        retina_rows = [
+            jnp.broadcast_to(s[:, None], (n_rays, 8)) for s in retinas
+        ]
 
     def retina_at(rows, phi):
         ri = jnp.clip(
@@ -243,45 +255,75 @@ def render_retarded_conical(
 
     def block_fn(args):
         vdat, vok, px, py = args
-        lp1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
+
+        # per-route quantities (python loop, K+1 routes, K static & small)
+        routes = []
+        lp1 = jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2)
         occ1, win1 = _occupancy_cells(px, py, t_now - lp1, vdat, vok, dt, rho)
-        occ2, win2 = _occupancy_cells(px, py, t_now - lp2, vdat, vok, dt, rho)
-        occ2 = occ2 & v2
-        theta_p = _route2_theta(px, py, cam, defect)
-        rpx, rpy = _rotate_about(px, py, theta_p, defect)
         if use_rays:
-            s1px = retina_at(s1_rows, jnp.arctan2(py - cym, px - cxm))
-            s2px = retina_at(s2_rows, jnp.arctan2(rpy - cym, rpx - cxm))
-            blk1 = s1px < (lp1 - 2.0 * rho)
-            blk2 = s2px < (lp2 - 2.0 * rho)
+            blk1 = retina_at(
+                retina_rows[0], jnp.arctan2(py - cym, px - cxm)
+            ) < (lp1 - 2.0 * rho)
         else:
             blk1 = jnp.zeros_like(occ1)
-            blk2 = jnp.zeros_like(occ2)
-        sel1 = occ1 & ~blk1
-        sel2 = occ2 & ~blk2
-        use1_vis = sel1 & (~sel2 | (lp1 <= lp2))
-        use2_vis = sel2 & ~use1_vis
-        visible = sel1 | sel2
-        # absorbed fallback (occupied but every hitting route blocked):
-        # shade the shortest occupied route, dimmed
-        use1_occ = occ1 & (~occ2 | (lp1 <= lp2))
-        occupied = occ1 | occ2
-        route1 = jnp.where(visible, use1_vis, use1_occ)
-        winner = jnp.where(route1[:, :, None], win1, win2)
-        r_eff = jnp.where(route1, lp1, lp2)
+        routes.append(dict(lp=lp1, occ=occ1, win=win1, blk=blk1,
+                           ex=px, ey=py, theta=None))
+        for i, d in enumerate(defects):
+            _l1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, d)
+            occ2, win2 = _occupancy_cells(
+                px, py, t_now - lp2, vdat, vok, dt, rho
+            )
+            occ2 = occ2 & v2
+            theta_p = _route2_theta(px, py, cam, d)
+            rpx, rpy = _rotate_about(px, py, theta_p, d)
+            if use_rays:
+                blk2 = retina_at(
+                    retina_rows[i + 1], jnp.arctan2(rpy - cym, rpx - cxm)
+                ) < (lp2 - 2.0 * rho)
+            else:
+                blk2 = jnp.zeros_like(occ2)
+            routes.append(dict(lp=lp2, occ=occ2, win=win2, blk=blk2,
+                               ex=rpx, ey=rpy, theta=theta_p))
 
-        # shading: per-route arrival direction; route-2 emitter velocity is
-        # parallel-transported (rotated by the pixel's theta — the winner
+        # masked-min winner among routes: visible (occupied & unblocked)
+        # routes first; absorbed fallback over merely-occupied routes
+        def masked_best(cond_key):
+            best_lp = jnp.full_like(lp1, _BIG)
+            sel_idx = jnp.full(lp1.shape, -1, jnp.int32)
+            for i, r in enumerate(routes):
+                cond = r["occ"] & ~r["blk"] if cond_key == "vis" else r["occ"]
+                better = cond & (r["lp"] < best_lp)
+                best_lp = jnp.where(better, r["lp"], best_lp)
+                sel_idx = jnp.where(better, i, sel_idx)
+            return sel_idx, best_lp
+
+        vis_idx, _vis_lp = masked_best("vis")
+        occ_idx, _occ_lp = masked_best("occ")
+        visible = vis_idx >= 0
+        occupied = occ_idx >= 0
+        route_idx = jnp.where(visible, vis_idx, occ_idx)
+
+        # gather per-route fields by masked select (K+1 static routes)
+        winner = routes[0]["win"]
+        r_eff, ex, ey = routes[0]["lp"], routes[0]["ex"], routes[0]["ey"]
+        for i, r in enumerate(routes[1:], start=1):
+            m = route_idx == i
+            winner = jnp.where(m[:, :, None], r["win"], winner)
+            r_eff = jnp.where(m, r["lp"], r_eff)
+            ex = jnp.where(m, r["ex"], ex)
+            ey = jnp.where(m, r["ey"], ey)
+
+        # shading: per-route arrival direction; back-route emitter velocity
+        # is parallel-transported (rotated by the pixel's theta — the winner
         # sits within rho of the pixel, same rotation branch)
-        vx = _field_at(vdat, winner, _F_VX)
-        vy = _field_at(vdat, winner, _F_VY)
-        ct, st = jnp.cos(theta_p), jnp.sin(theta_p)
-        vx2 = ct * vx - st * vy
-        vy2 = st * vx + ct * vy
-        vx = jnp.where(route1, vx, vx2)
-        vy = jnp.where(route1, vy, vy2)
-        ex = jnp.where(route1, px, rpx)  # chart location the photon leaves
-        ey = jnp.where(route1, py, rpy)
+        vx0 = _field_at(vdat, winner, _F_VX)
+        vy0 = _field_at(vdat, winner, _F_VY)
+        vx, vy = vx0, vy0
+        for i, r in enumerate(routes[1:], start=1):
+            m = route_idx == i
+            ct, st = jnp.cos(r["theta"]), jnp.sin(r["theta"])
+            vx = jnp.where(m, ct * vx0 - st * vy0, vx)
+            vy = jnp.where(m, st * vx0 + ct * vy0, vy)
         inv_r = 1.0 / jnp.maximum(r_eff, 1e-12)
         nx = (cxm - ex) * inv_r
         ny = (cym - ey) * inv_r
@@ -294,7 +336,12 @@ def render_retarded_conical(
         sr, sg, sb = shade_channels(cr, cg, cb_, d, params)
 
         if use_rays:
-            bg_blocked = blk1 & (blk2 | ~v2)
+            # background shadow: every route that could carry light is blocked
+            bg_blocked = routes[0]["blk"]
+            for r in routes[1:]:
+                # a defect route shadows only where it exists (occ-independent
+                # existence = the geodesic validity baked into lp < BIG)
+                bg_blocked = bg_blocked & (r["blk"] | (r["lp"] >= _BIG))
 
             def compose(s):
                 return jnp.where(
@@ -330,19 +377,21 @@ def render_conical_brute(
     obj_index: jax.Array,
     objects: Objects,
     cam: Camera,
-    defect: ConicalDefect,
+    defect,  # ConicalDefect | tuple[ConicalDefect, ...]
     width: int,
     height: int,
     params: RenderParams,
 ) -> jax.Array:
     """Exhaustive conical-defect oracle: every pixel tests every (slot,
-    particle) segment on BOTH geodesic routes, with exact per-pixel
-    occlusion (chart-straight rays for route 1; route 2 against
-    route-2-imaged segments).  Defines correct output for
-    render_retarded_conical (SURVEY.md §4 oracle strategy) — tiny scenes."""
+    particle) segment on EVERY geodesic route (direct + one back route per
+    defect), with exact per-pixel occlusion (chart-straight rays for the
+    direct route; each back route against its route-2-imaged segments).
+    Defines correct output for render_retarded_conical (SURVEY.md §4 oracle
+    strategy) — tiny scenes."""
     from .raytrace import _occupancy_xy, _ray_hit_xy, _segment_data
     from ..camera import pixel_centers
 
+    defects = defect if isinstance(defect, (tuple, list)) else (defect,)
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
@@ -358,21 +407,9 @@ def render_conical_brute(
     fvx = buf.vel_x[:t_cap].reshape(-1)
     fvy = buf.vel_y[:t_cap].reshape(-1)
 
-    # route-2 images of every segment (midpoint rotation sign)
-    cam_ = cam
-    mx, my = 0.5 * (fax + fbx), 0.5 * (fay + fby)
-    th_s = _route2_theta(mx, my, cam_, defect)
-    rax, ray_ = _rotate_about(fax, fay, th_s, defect)
-    rbx, rby = _rotate_about(fbx, fby, th_s, defect)
-    rvx = jnp.cos(th_s) * fvx - jnp.sin(th_s) * fvy
-    rvy = jnp.sin(th_s) * fvx + jnp.cos(th_s) * fvy
-
     pc = pixel_centers(width, height, cam)
     px = pc[..., 0].reshape(-1)
     py = pc[..., 1].reshape(-1)
-    lp1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, defect)
-    theta_p = _route2_theta(px, py, cam_, defect)
-    rpx, rpy = _rotate_about(px, py, theta_p, defect)
 
     def route_pass(t_e, seg):
         ax, ay, bx, by = seg
@@ -386,44 +423,75 @@ def render_conical_brute(
         occ = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
         return occ, best
 
-    occ1, best1 = route_pass(t_now - lp1, (fax, fay, fbx, fby))
-    occ2, best2 = route_pass(t_now - lp2, (fax, fay, fbx, fby))
-    occ2 = occ2 & v2
-
-    if use_rays:
-        def first_hit(dhx, dhy, ax, ay, bx, by):
-            hit, s_hit = _ray_hit_xy(
-                cxm, cym, dhx[:, None], dhy[:, None],
-                ax[None], ay[None], bx[None], by[None], fta[None],
-                t_now, dt, rho,
-            )
-            s_hit = jnp.where(hit & valid_f[None, :], s_hit, _BIG)
-            return jnp.min(s_hit, axis=1)
-
-        inv1 = 1.0 / jnp.maximum(lp1, 1e-12)
-        s1 = first_hit((px - cxm) * inv1, (py - cym) * inv1,
-                       fax, fay, fbx, fby)
-        inv2 = 1.0 / jnp.maximum(
-            jnp.sqrt((rpx - cxm) ** 2 + (rpy - cym) ** 2), 1e-12
+    def first_hit(dhx, dhy, ax, ay, bx, by):
+        hit, s_hit = _ray_hit_xy(
+            cxm, cym, dhx[:, None], dhy[:, None],
+            ax[None], ay[None], bx[None], by[None], fta[None],
+            t_now, dt, rho,
         )
-        s2 = first_hit((rpx - cxm) * inv2, (rpy - cym) * inv2,
-                       rax, ray_, rbx, rby)
-        blk1 = s1 < (lp1 - 2.0 * rho)
-        blk2 = s2 < (lp2 - 2.0 * rho)
+        s_hit = jnp.where(hit & valid_f[None, :], s_hit, _BIG)
+        return jnp.min(s_hit, axis=1)
+
+    # direct route
+    lp1 = jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2)
+    occ1, best1 = route_pass(t_now - lp1, (fax, fay, fbx, fby))
+    if use_rays:
+        inv1 = 1.0 / jnp.maximum(lp1, 1e-12)
+        blk1 = first_hit((px - cxm) * inv1, (py - cym) * inv1,
+                         fax, fay, fbx, fby) < (lp1 - 2.0 * rho)
     else:
         blk1 = jnp.zeros_like(occ1)
-        blk2 = jnp.zeros_like(occ2)
+    routes = [dict(lp=lp1, occ=occ1, best=best1, blk=blk1,
+                   ex=px, ey=py, theta=jnp.zeros_like(px))]
 
-    sel1 = occ1 & ~blk1
-    sel2 = occ2 & ~blk2
-    use1_vis = sel1 & (~sel2 | (lp1 <= lp2))
-    use2_vis = sel2 & ~use1_vis
-    visible = sel1 | sel2
-    use1_occ = occ1 & (~occ2 | (lp1 <= lp2))
-    occupied = occ1 | occ2
-    route1 = jnp.where(visible, use1_vis, use1_occ)
-    best = jnp.where(route1, best1, best2)
-    r_eff = jnp.where(route1, lp1, lp2)
+    for dfc in defects:
+        # route-2 images of every segment (midpoint rotation sign)
+        mx, my = 0.5 * (fax + fbx), 0.5 * (fay + fby)
+        th_s = _route2_theta(mx, my, cam, dfc)
+        rax, ray_ = _rotate_about(fax, fay, th_s, dfc)
+        rbx, rby = _rotate_about(fbx, fby, th_s, dfc)
+
+        _l1, lp2, v2 = geodesic_lengths_xy(px, py, cxm, cym, dfc)
+        theta_p = _route2_theta(px, py, cam, dfc)
+        rpx, rpy = _rotate_about(px, py, theta_p, dfc)
+        occ2, best2 = route_pass(t_now - lp2, (fax, fay, fbx, fby))
+        occ2 = occ2 & v2
+        if use_rays:
+            inv2 = 1.0 / jnp.maximum(
+                jnp.sqrt((rpx - cxm) ** 2 + (rpy - cym) ** 2), 1e-12
+            )
+            blk2 = first_hit((rpx - cxm) * inv2, (rpy - cym) * inv2,
+                             rax, ray_, rbx, rby) < (lp2 - 2.0 * rho)
+        else:
+            blk2 = jnp.zeros_like(occ2)
+        routes.append(dict(lp=lp2, occ=occ2, best=best2, blk=blk2,
+                           ex=rpx, ey=rpy, theta=theta_p))
+
+    def masked_best(vis):
+        best_lp = jnp.full_like(px, _BIG)
+        sel = jnp.full(px.shape, -1, jnp.int32)
+        for i, r in enumerate(routes):
+            cond = r["occ"] & ~r["blk"] if vis else r["occ"]
+            better = cond & (r["lp"] < best_lp)
+            best_lp = jnp.where(better, r["lp"], best_lp)
+            sel = jnp.where(better, i, sel)
+        return sel
+
+    vis_idx = masked_best(True)
+    occ_idx = masked_best(False)
+    visible = vis_idx >= 0
+    occupied = occ_idx >= 0
+    route_idx = jnp.where(visible, vis_idx, occ_idx)
+
+    best = routes[0]["best"]
+    r_eff, ex, ey, theta_p = (routes[0][k] for k in ("lp", "ex", "ey", "theta"))
+    for i, r in enumerate(routes[1:], start=1):
+        m = route_idx == i
+        best = jnp.where(m, r["best"], best)
+        r_eff = jnp.where(m, r["lp"], r_eff)
+        ex = jnp.where(m, r["ex"], ex)
+        ey = jnp.where(m, r["ey"], ey)
+        theta_p = jnp.where(m, r["theta"], theta_p)
 
     obj = fobj[best]
     cr = objects.base_color[:, 0][obj]
@@ -431,10 +499,8 @@ def render_conical_brute(
     cb = objects.base_color[:, 2][obj]
     wvx, wvy = fvx[best], fvy[best]
     ct, st = jnp.cos(theta_p), jnp.sin(theta_p)
-    vx = jnp.where(route1, wvx, ct * wvx - st * wvy)
-    vy = jnp.where(route1, wvy, st * wvx + ct * wvy)
-    ex = jnp.where(route1, px, rpx)
-    ey = jnp.where(route1, py, rpy)
+    vx = ct * wvx - st * wvy  # theta = 0 on the direct route
+    vy = st * wvx + ct * wvy
     inv_r = 1.0 / jnp.maximum(r_eff, 1e-12)
     nx = (cxm - ex) * inv_r
     ny = (cym - ey) * inv_r
@@ -443,7 +509,9 @@ def render_conical_brute(
     )
     sr, sg, sb = shade_channels(cr, cg, cb, d, params)
     if use_rays:
-        bg_blocked = blk1 & (blk2 | ~v2)
+        bg_blocked = routes[0]["blk"]
+        for r in routes[1:]:
+            bg_blocked = bg_blocked & (r["blk"] | (r["lp"] >= _BIG))
         comp = lambda s: jnp.where(
             visible, s,
             jnp.where(

@@ -45,8 +45,12 @@ class EngineConfig:
     max_fps: float = 72.0  # frame pacing target (reference: debugui.rs:21)
     render_mode: str = "retarded"  # retarded | points | instant | conical
     steps_per_frame: int = 1
-    # conical-defect mass for curved-spacetime mode: ((cx, cy), deficit_rad)
-    defect: Optional[Tuple[Tuple[float, float], float]] = None
+    # conical-defect mass(es) for curved-spacetime mode: a single
+    # ((cx, cy), deficit_rad) or a tuple of them (multi-defect scenes use
+    # single-scattering superposition, ops/curved.py)
+    defect: Optional[Tuple] = None
+    # quasi-static defect motion: one (vx, vy) per defect
+    defect_vel: Optional[Tuple[Tuple[float, float], ...]] = None
     # split-jit debug mode: run step / worldline push / render as separate
     # dispatches with device syncs so StatsWindow reports true per-stage ms
     # (the analog of the reference's GPU timestamp stages, querybank.rs:14-47)

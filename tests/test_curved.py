@@ -180,3 +180,102 @@ def test_conical_opaque_zero_deficit_matches_flat_opaque():
     )
     mismatch = np.mean(np.any(np.abs(img_c - img_f) > 1e-2, axis=-1))
     assert mismatch < 0.02
+
+
+def test_single_defect_tuple_identical():
+    buf, particles, objects = _static_blob_buffer((0.18, 0.02))
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    defect = curved.ConicalDefect.create(center=(0.05, -0.3), deficit=1.0)
+    p64 = fitted(PARAMS, 64, 64, 0.7)
+    a = np.asarray(curved.render_retarded_conical(
+        buf, particles.object_index, objects, cam, defect, 64, 64, p64))
+    b = np.asarray(curved.render_retarded_conical(
+        buf, particles.object_index, objects, cam, (defect,), 64, 64, p64))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_multi_defect_opaque_matches_oracle():
+    """Two defects: single-scattering superposition — fast renderer vs the
+    exhaustive per-pixel oracle (both enumerate direct + 2 back routes)."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.28), (0.0, 0.35))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    sb.add(scene.disc_softbody(3, 1, (-0.18, -0.05), (0.05, 0.0)),
+           base_color=(0.9, 0.4, 0.2))
+    particles, objects = sb.build(capacity=256)
+    from spacetime_tpu.models.softbody import SoftbodyModel
+
+    model = SoftbodyModel(capacity=particles.capacity)
+    buf = wl.create(128, particles.capacity)
+    p = particles
+    t = 0.0
+    for _ in range(80):
+        p, _ = model.step(p)
+        t += H
+        buf = wl.push_frame(buf, p, t)
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.2)
+    defects = (
+        curved.ConicalDefect.create(center=(0.0, 0.0), deficit=5.0),
+        curved.ConicalDefect.create(center=(0.15, 0.2), deficit=4.5),
+    )
+    params = fitted(
+        dataclasses.replace(PARAMS, opaque=True, num_rays=1024), 96, 96, 1.2
+    )
+    fast = np.asarray(curved.render_retarded_conical(
+        buf, p.object_index, objects, cam, defects, 96, 96, params))
+    oracle = np.asarray(curved.render_conical_brute(
+        buf, p.object_index, objects, cam, defects, 96, 96, params))
+    mismatch = np.mean(np.any(np.abs(fast - oracle) > 0.05, axis=-1))
+    assert mismatch < 0.03, mismatch
+
+
+def test_multi_defect_adds_images():
+    """A second defect adds its own around-the-back image of a moving blob."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.3), (0.0, 0.4))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    particles, objects = sb.build(capacity=256)
+    buf = wl.create(256, particles.capacity)
+    p0 = particles.pos
+    for k in range(256):
+        t = k * H
+        buf = wl.push_frame(
+            buf, dataclasses.replace(particles, pos=p0 + particles.vel * t),
+            time=t,
+        )
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
+    params = fitted(PARAMS, 128, 128, 1.4)
+    one = curved.ConicalDefect.create(center=(0.0, 0.0), deficit=5.0)
+    two = curved.ConicalDefect.create(center=(0.05, 0.35), deficit=5.2)
+    img1 = np.asarray(curved.render_retarded_conical(
+        buf, particles.object_index, objects, cam, (one,), 128, 128, params))
+    img2 = np.asarray(curved.render_retarded_conical(
+        buf, particles.object_index, objects, cam, (one, two), 128, 128,
+        params))
+    n1 = (img1.min(-1) < 0.9).sum()
+    n2 = (img2.min(-1) < 0.9).sum()
+    assert n1 > 0
+    assert n2 > n1 * 1.2, (n1, n2)
+
+
+def test_engine_defect_motion_quasi_static():
+    import jax.numpy as jnp
+
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils.config import get_config
+
+    cfg = get_config("conical_defect")
+    cfg = dataclasses.replace(
+        cfg, width=48, height=48, history=32,
+        defect_vel=((0.1, -0.05),),
+    )
+    eng = Engine(cfg)
+    (d0,) = eng._defects()
+    c0 = np.asarray(d0.center)
+    for _ in range(4):
+        eng.run_frame()
+    (d1,) = eng._defects()
+    c1 = np.asarray(d1.center)
+    expect = c0 + np.asarray([0.1, -0.05]) * eng.time
+    np.testing.assert_allclose(c1, expect, rtol=1e-5, atol=1e-7)
+    assert eng.time > 0
