@@ -186,6 +186,32 @@ def config_png_demo() -> EngineConfig:
     )
 
 
+def config_rindler_horizon() -> EngineConfig:
+    """Rindler-horizon demo: a camera under constant proper acceleration
+    a = 2 c/s has an event horizon c^2/a = 0.5 ls BEHIND it — light from
+    events beyond it never catches up, so the trailing blob's image freezes
+    at a finite retarded time while the leading blob stays live.  This drops
+    out of the retarded renderer for free (events outside the camera's past
+    light cone simply never satisfy the crossing); this config makes it a
+    first-class scenario (ROADMAP round-1; no reference analog)."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                # trailing blob: starts 0.8 ls behind -> beyond the horizon
+                _blob(1500, (-0.45, 0.42), (0.0, 0.0), RED),
+                # leading blob: ahead of the camera, stays visible
+                _blob(1500, (0.85, 0.42), (0.0, 0.0), BLUE),
+            )
+        ),
+        width=512,
+        height=256,
+        history=768,  # long history: the frozen image stays renderable
+        cam_pos=(0.45, 0.5),
+        cam_zoom=2.4,  # frame both blobs: view spans x in [-0.75, 1.65]
+        cam_accel=(2.0, 0.0),
+    )
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
     "png_demo": config_png_demo,
@@ -193,6 +219,7 @@ CONFIGS = {
     "flagship_1080p": config_flagship_1080p,
     "accelerated_camera": config_accelerated_camera,
     "conical_defect": config_conical_defect,
+    "rindler_horizon": config_rindler_horizon,
 }
 
 
