@@ -26,7 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="directory for PNG frames")
     ap.add_argument("--every", type=int, default=1, help="dump every Nth frame")
     ap.add_argument("--mode", default=None,
-                    choices=[None, "retarded", "points", "instant", "retina", "conical"])
+                    choices=[None, "retarded", "points", "instant", "retina",
+                             "conical", "btz"])
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--stats", action="store_true", help="print stats JSON")

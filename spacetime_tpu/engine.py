@@ -369,6 +369,17 @@ class Engine:
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, self._defects(), cfg.width, cfg.height, rparams,
             )
+        if mode == "btz":
+            from .ops import btz as btz_ops
+
+            if cfg.btz is None:
+                raise ValueError("render_mode='btz' requires config.btz")
+            (hc, hm, hl) = cfg.btz
+            hole = btz_ops.BTZBlackHole.create(hc, hm, hl)
+            return btz_ops.render_btz_xray(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, hole, cfg.width, cfg.height, rparams,
+            )
         raise ValueError(f"unknown render mode {mode!r}")
 
     def _defects(self):

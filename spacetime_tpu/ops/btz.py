@@ -1,0 +1,248 @@
+"""BTZ black hole (2+1 AdS) retarded-time rendering — closed-form null
+geodesics.
+
+BASELINE config 5 names "conical-defect/BTZ mass" as the stretch goal; the
+conical defect is ops/curved.py.  This module adds the genuinely curved case:
+the non-rotating BTZ black hole
+
+    ds^2 = -f(r) dt^2 + dr^2/f(r) + r^2 dphi^2,   f(r) = r^2/l^2 - M,
+
+with horizon r_h = l sqrt(M).  Everything needed for retarded rendering is
+closed form (no numerical ray marching):
+
+  * ORBITS.  With u = 1/r the null orbit equation is
+    (du/dphi)^2 = b^2 + M u^2 (b^2 = E^2/L^2 - 1/l^2), a linear ODE whose
+    solutions are u(phi) = A e^{mu phi} + B e^{-mu phi}, mu = sqrt(M).  The
+    boundary problem (u_a at 0, u_b at dphi) is a 2x2 linear solve; convexity
+    (u'' = M u > 0) keeps every connecting orbit outside the horizon
+    whenever its endpoints are, so existence is unconditional.
+  * TRAVEL TIME.  dt/dphi = (E/L) l^2 / (1 - M l^2 u^2) integrates in closed
+    form: with w = e^{2 mu phi} the integrand is rational and
+
+        t = l/(2 sqrt(M)) * [ ln((w - w-)/(w - w+)) ]_{w=1}^{w=e^{2 mu dphi}}
+
+    where w± are the roots of M l^2 A^2 w^2 - (1 - 2ABMl^2) w + M l^2 B^2
+    (the analytic continuation's horizon touchpoints, always outside the
+    integration range).  (E/L)^2 = 1/l^2 - 4ABM is positive for every
+    exterior-connecting orbit.
+  * ROUTES.  As on the cone, two routes per pixel: angular separations
+    |dphi| and 2 pi - |dphi|.  Higher windings (and AdS boundary-reflected
+    rays) are neglected — each adds a strictly longer delay.
+
+Modeling limitations (documented):
+  * The render is x-ray (no occlusion along curved rays) and shades with the
+    chart arrival direction — the same stage conical rendering reached in
+    round 1; the geometry/time-delay layer below is exact.
+  * Rendering uses coordinate time t (the static observer at the camera has
+    d tau = sqrt(f) dt; a global shift does not change images).
+  * Softbody physics runs in the flat chart: keep bodies at r >> r_h where
+    the optical metric is slowly varying (also required by the band search's
+    monotonicity — the delay gradient diverges at the horizon).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..state import Objects
+from .raytrace import (
+    PairData,
+    RenderParams,
+    _BIG,
+    _assemble_image,
+    _band_pairs,
+    _build_view_tables,
+    _cell_pixel_coords,
+    _occupancy_cells,
+    _field_at,
+    _F_VX, _F_VY, _F_CR, _F_CG, _F_CB,
+    camera_doppler_factor_xy,
+    doppler_factor_xy,
+    shade_channels,
+)
+from .worldline import WorldlineBuffer
+
+_EPS = 1e-12
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BTZBlackHole:
+    center: jax.Array  # (2,) chart position of the hole
+    mass: jax.Array  # () M > 0 (horizon r_h = l sqrt(M))
+    ads_l: jax.Array  # () AdS curvature radius l
+
+    @staticmethod
+    def create(center=(0.5, 0.5), mass=0.01, ads_l=4.0) -> "BTZBlackHole":
+        return BTZBlackHole(
+            center=jnp.asarray(center, jnp.float32),
+            mass=jnp.asarray(mass, jnp.float32),
+            ads_l=jnp.asarray(ads_l, jnp.float32),
+        )
+
+    @property
+    def r_h(self):
+        return self.ads_l * jnp.sqrt(self.mass)
+
+
+def btz_null_delay(ra, rb, dphi, mass, ads_l):
+    """Coordinate-time delay of the null geodesic from (ra, 0) to
+    (rb, dphi), dphi > 0 — fully closed form (module docstring).  Inputs
+    broadcast; returns +BIG where an endpoint is inside the horizon."""
+    M, l = mass, ads_l
+    mu = jnp.sqrt(M)
+    ua = 1.0 / jnp.maximum(ra, _EPS)
+    ub = 1.0 / jnp.maximum(rb, _EPS)
+    e_half = jnp.exp(mu * dphi)  # e^{mu dphi}
+    denom = e_half - 1.0 / e_half
+    A = (ub - ua / e_half) / jnp.maximum(denom, _EPS)
+    B = ua - A
+
+    Ml2 = M * l * l
+    a2 = Ml2 * A * A
+    a1 = 1.0 - 2.0 * A * B * Ml2
+    a0 = Ml2 * B * B
+    # disc = l^2 (E/L)^2 > 0 for exterior endpoints
+    disc = jnp.maximum(a1 * a1 - 4.0 * a2 * a0, _EPS)
+    sq = jnp.sqrt(disc)
+
+    W = e_half * e_half  # e^{2 mu dphi}, integration upper limit in w
+
+    # general roots; guard a2 ~ 0 (A ~ 0: purely decaying orbit) with the
+    # degenerate closed form t = l/(2mu) ln((W - Ml2 B^2)/(1 - Ml2 B^2))
+    safe_a2 = jnp.maximum(a2, _EPS)
+    w_plus = (a1 + sq) / (2.0 * safe_a2)
+    w_minus = (a1 - sq) / (2.0 * safe_a2)
+
+    def g(w):
+        return jnp.log(
+            jnp.abs(w - w_minus) / jnp.maximum(jnp.abs(w - w_plus), _EPS)
+        )
+
+    t_gen = (l / (2.0 * mu)) * (g(W) - g(1.0))
+    t_deg = (l / (2.0 * mu)) * jnp.log(
+        jnp.abs(W - Ml2 * B * B) / jnp.maximum(jnp.abs(1.0 - Ml2 * B * B), _EPS)
+    )
+    t = jnp.where(a2 < 1e-9, t_deg, t_gen)
+
+    r_h = l * mu
+    inside = (ra <= r_h) | (rb <= r_h)
+    return jnp.where(inside, _BIG, jnp.abs(t))
+
+
+def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
+    """Both routes' delays between chart points q and the camera c:
+    (direct |dphi|, around-the-back 2 pi - |dphi|)."""
+    hx, hy = hole.center[0], hole.center[1]
+    rqx, rqy = qx - hx, qy - hy
+    rcx, rcy = cx - hx, cy - hy
+    rq = jnp.sqrt(rqx * rqx + rqy * rqy)
+    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
+    cos_d = jnp.clip(
+        (rqx * rcx + rqy * rcy) / jnp.maximum(rq * rc, _EPS), -1.0, 1.0
+    )
+    d_phi = jnp.arccos(cos_d)  # in [0, pi]
+    t1 = btz_null_delay(rq, rc, jnp.maximum(d_phi, 1e-6), hole.mass, hole.ads_l)
+    t2 = btz_null_delay(rq, rc, 2.0 * jnp.pi - d_phi, hole.mass, hole.ads_l)
+    return t1, t2
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_btz_xray(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    hole: BTZBlackHole,
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+) -> jax.Array:
+    """X-ray retarded render around a BTZ black hole: per pixel, matter is
+    shown at the retarded time of whichever of the two geodesic routes hits
+    (shorter delay wins) — double images with gravitational time delay.
+    Pixels inside the horizon render black."""
+    dt, rho = params.dt, params.rho
+    t_now = buf.times[buf.cursor]
+    cxm, cym = cam.pos[0], cam.pos[1]
+
+    def d1_of(qx, qy):
+        return route_delays_xy(qx, qy, cxm, cym, hole)[0]
+
+    def d2_of(qx, qy):
+        return route_delays_xy(qx, qy, cxm, cym, hole)[1]
+
+    plist = [
+        _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
+                    params, route_lengths=fn)[0]
+        for fn in (d1_of, d2_of)
+    ]
+    pairs = PairData(
+        pdata=jnp.concatenate([p.pdata for p in plist], axis=0),
+        pair_valid=jnp.concatenate([p.pair_valid for p in plist]),
+        n_pairs=sum(p.n_pairs for p in plist),
+    )
+    from .raytrace import _compact_pairs_to_budget
+
+    pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
+    tables, _bdrop, _small, geom = _build_view_tables(
+        pairs, cam, width, height, params
+    )
+    wc_img, hc_img, _ps, _gx, _gy = geom
+
+    pxs, pys = _cell_pixel_coords(width, height, cam, params)
+    cb = params.cells_per_block
+    n_blocks = pxs.shape[0] // cb
+
+    def block_fn(args):
+        vdat, vok, px, py = args
+        td1, td2 = route_delays_xy(px, py, cxm, cym, hole)
+        occ1, win1 = _occupancy_cells(px, py, t_now - td1, vdat, vok, dt, rho)
+        occ2, win2 = _occupancy_cells(px, py, t_now - td2, vdat, vok, dt, rho)
+        occ1 = occ1 & (td1 < _BIG)
+        occ2 = occ2 & (td2 < _BIG)
+        use1 = occ1 & (~occ2 | (td1 <= td2))
+        occupied = occ1 | occ2
+        winner = jnp.where(use1[:, :, None], win1, win2)
+        r_eff = jnp.where(use1, td1, td2)  # optical path in time units
+
+        vx = _field_at(vdat, winner, _F_VX)
+        vy = _field_at(vdat, winner, _F_VY)
+        inv_r = 1.0 / jnp.maximum(
+            jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), _EPS
+        )
+        nx = (cxm - px) * inv_r  # chart-direction approximation (docstring)
+        ny = (cym - py) * inv_r
+        d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+            cam.vel[0], cam.vel[1], nx, ny
+        )
+        cr = _field_at(vdat, winner, _F_CR)
+        cg = _field_at(vdat, winner, _F_CG)
+        cb_ = _field_at(vdat, winner, _F_CB)
+        sr, sg, sb = shade_channels(cr, cg, cb_, d, params)
+
+        # horizon disc renders black
+        hx, hy = hole.center[0], hole.center[1]
+        in_hole = ((px - hx) ** 2 + (py - hy) ** 2) < hole.r_h**2
+
+        def compose(s):
+            return jnp.where(in_hole, 0.0, jnp.where(occupied, s, 1.0))
+
+        return jnp.stack([compose(sr), compose(sg), compose(sb)], axis=1)
+
+    crgb = jax.lax.map(
+        block_fn,
+        (
+            tables.vdat.reshape(n_blocks, cb, *tables.vdat.shape[1:]),
+            tables.vok.reshape(n_blocks, cb, *tables.vok.shape[1:]),
+            pxs.reshape(n_blocks, cb, -1),
+            pys.reshape(n_blocks, cb, -1),
+        ),
+    )
+    return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)

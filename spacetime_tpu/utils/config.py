@@ -51,6 +51,8 @@ class EngineConfig:
     defect: Optional[Tuple] = None
     # quasi-static defect motion: one (vx, vy) per defect
     defect_vel: Optional[Tuple[Tuple[float, float], ...]] = None
+    # BTZ black hole for render_mode='btz': ((cx, cy), mass, ads_l)
+    btz: Optional[Tuple[Tuple[float, float], float, float]] = None
     # split-jit debug mode: run step / worldline push / render as separate
     # dispatches with device syncs so StatsWindow reports true per-stage ms
     # (the analog of the reference's GPU timestamp stages, querybank.rs:14-47)
@@ -212,8 +214,29 @@ def config_rindler_horizon() -> EngineConfig:
     )
 
 
+def config_btz_hole() -> EngineConfig:
+    """BTZ black hole (the other half of BASELINE config 5's stretch):
+    closed-form hyperbolic null geodesics, gravitational time delay, double
+    images, black horizon disc (ops/btz.py)."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(3000, (0.25, 0.50), (0.0, 0.3), BLUE),
+                _blob(3000, (0.75, 0.50), (0.0, -0.3), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.5, 0.08),
+        render_mode="btz",
+        btz=((0.5, 0.55), 0.005, 4.0),  # r_h = 4 sqrt(0.005) ~ 0.28
+    )
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
+    "btz_hole": config_btz_hole,
     "png_demo": config_png_demo,
     "two_body_collision": config_two_body_collision,
     "flagship_1080p": config_flagship_1080p,

@@ -1,0 +1,117 @@
+"""BTZ closed-form null geodesics vs independent float64 quadrature."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from spacetime_tpu import scene
+from spacetime_tpu.camera import Camera
+from spacetime_tpu.ops import btz, raytrace
+from spacetime_tpu.ops import worldline as wl
+
+H = 0.005
+
+
+def _delay_quadrature(ra, rb, dphi, M, l, n=200_000):
+    """Independent check: solve the orbit BVP in float64 and integrate
+    dt/dphi = (E/L) l^2 / (1 - M l^2 u^2) by trapezoid."""
+    mu = np.sqrt(M)
+    ua, ub = 1.0 / ra, 1.0 / rb
+    e = np.exp(mu * dphi)
+    A = (ub - ua / e) / (e - 1.0 / e)
+    B = ua - A
+    EoverL = np.sqrt(1.0 / l**2 - 4.0 * A * B * M)
+    phi = np.linspace(0.0, dphi, n)
+    u = A * np.exp(mu * phi) + B * np.exp(-mu * phi)
+    assert np.all(u > 0), "orbit leaves the chart"
+    integrand = EoverL * l * l / (1.0 - M * l * l * u * u)
+    return float(np.trapezoid(integrand, phi))
+
+
+def test_closed_form_matches_quadrature():
+    rng = np.random.default_rng(7)
+    M, l = 0.01, 4.0
+    r_h = l * np.sqrt(M)  # 0.4
+    for _ in range(30):
+        ra = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        rb = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        dphi = float(rng.uniform(0.1, 2.0 * np.pi - 0.1))
+        want = _delay_quadrature(ra, rb, dphi, M, l)
+        got = float(btz.btz_null_delay(
+            jnp.float32(ra), jnp.float32(rb), jnp.float32(dphi),
+            jnp.float32(M), jnp.float32(l),
+        ))
+        assert want > 0
+        np.testing.assert_allclose(got, want, rtol=2e-3), (ra, rb, dphi)
+
+
+def test_delay_symmetric_in_endpoints():
+    M, l = 0.04, 3.0
+    for ra, rb, dphi in [(1.0, 2.0, 1.3), (0.8, 3.0, 2.8), (2.5, 2.5, 0.7)]:
+        ab = float(btz.btz_null_delay(ra, rb, dphi, M, l))
+        ba = float(btz.btz_null_delay(rb, ra, dphi, M, l))
+        np.testing.assert_allclose(ab, ba, rtol=1e-4)
+
+
+def test_horizon_freeze_and_interior():
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.01, ads_l=4.0)
+    r_h = float(hole.r_h)
+    far = float(btz.btz_null_delay(1.5 * r_h, 3.0 * r_h, 1.0, 0.01, 4.0))
+    near = float(btz.btz_null_delay(1.001 * r_h, 3.0 * r_h, 1.0, 0.01, 4.0))
+    assert near > 2.0 * far  # delay diverges toward the horizon
+    inside = float(btz.btz_null_delay(0.5 * r_h, 3.0 * r_h, 1.0, 0.01, 4.0))
+    assert inside >= 1e8  # BIG sentinel
+
+
+def test_btz_double_image_render():
+    """A moving blob outside a BTZ hole shows extra image area vs the flat
+    renderer (two routes, different retarded times), and the horizon disc
+    renders black."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.3), (0.0, 0.4))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    particles, objects = sb.build(capacity=256)
+    buf = wl.create(256, particles.capacity)
+    p0 = particles.pos
+    for k in range(256):
+        t = k * H
+        buf = wl.push_frame(
+            buf, dataclasses.replace(particles, pos=p0 + particles.vel * t),
+            time=t,
+        )
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
+    params = dataclasses.replace(
+        raytrace.RenderParams(dt=H, opaque=False),
+        cell_px=raytrace.auto_cell_px(
+            raytrace.RenderParams(dt=H, opaque=False), 128, 128, 1.4
+        ),
+    )
+    flat = np.asarray(raytrace.render_retarded(
+        buf, particles.object_index, objects, cam, 128, 128, params))
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=1.2)
+    img = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole, 128, 128, params))
+    n_flat = (flat.min(-1) < 0.9).sum()
+    n_btz = (img.min(-1) < 0.9).sum()
+    assert n_flat > 0
+    assert n_btz > n_flat, (n_flat, n_btz)
+    # horizon disc is black
+    dark = (img.max(-1) < 0.05).sum()
+    assert dark > 0
+
+
+def test_btz_engine_config_renders():
+    import dataclasses as dc
+
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils.config import get_config
+
+    cfg = dc.replace(get_config("btz_hole"), width=48, height=48, history=32)
+    eng = Engine(cfg)
+    img = None
+    for _ in range(2):
+        img = eng.run_frame()
+    arr = np.asarray(img)
+    assert arr.shape[-1] == 3
+    assert (arr.max(-1) < 0.05).sum() > 0  # horizon disc
