@@ -508,8 +508,12 @@ class Engine:
                     "%d (recompile)", int(diag.band_truncated),
                     self.config.render.band + self._band_boost,
                 )
-            if int(diag.bin_dropped) > 0 and self._cap_boost < 192:
-                self._cap_boost += 16
+            cap_now = self.config.render.bin_capacity + self._cap_boost
+            if int(diag.bin_dropped) > 0 and cap_now < 256:
+                # geometric growth: a 16-step against thousands of drops
+                # would re-fire (and recompile) every diag window — doubling
+                # converges in <= 2 recompiles
+                self._cap_boost = min(cap_now * 2, 256) - self.config.render.bin_capacity
                 self.log.warning(
                     "%d candidates dropped from full view bins: raising "
                     "bin_capacity to %d (recompile)", int(diag.bin_dropped),

@@ -82,6 +82,9 @@ def config_single_blob() -> EngineConfig:
         height=256,
         history=384,
         cam_pos=(0.65, 0.5),
+        # small image -> few view cells -> dense bins: pre-size capacity so
+        # the diagnostics adaptation doesn't need a startup recompile
+        render=RenderParams(bin_capacity=192),
     )
 
 

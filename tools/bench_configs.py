@@ -13,7 +13,10 @@ from spacetime_tpu.engine import Engine  # noqa: E402
 from spacetime_tpu.utils.config import CONFIGS, get_config  # noqa: E402
 
 
-def bench(name, warm=6, timed=30):
+def bench(name, warm=100, timed=40):
+    # warm past 3x diag_every (30): the diagnostics-driven band/bin
+    # adaptation may recompile (geometric, <= 2 events) — steady state is
+    # what we measure
     cfg = get_config(name)
     eng = Engine(cfg)
     t0 = time.perf_counter()
