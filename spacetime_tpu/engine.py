@@ -397,6 +397,11 @@ class Engine:
         else:
             specs = (spec,)
         vels = cfg.defect_vel or ((0.0, 0.0),) * len(specs)
+        if len(vels) != len(specs):
+            raise ValueError(
+                f"defect_vel has {len(vels)} entries for {len(specs)} "
+                "defects — provide one (vx, vy) per defect"
+            )
         out = []
         for ((cx, cy), deficit), (vx, vy) in zip(specs, vels):
             out.append(curved.ConicalDefect.create(
@@ -509,16 +514,28 @@ class Engine:
                     self.config.render.band + self._band_boost,
                 )
             cap_now = self.config.render.bin_capacity + self._cap_boost
-            if int(diag.bin_dropped) > 0 and cap_now < 256:
-                # geometric growth: a 16-step against thousands of drops
-                # would re-fire (and recompile) every diag window — doubling
-                # converges in <= 2 recompiles
-                self._cap_boost = min(cap_now * 2, 256) - self.config.render.bin_capacity
-                self.log.warning(
-                    "%d candidates dropped from full view bins: raising "
-                    "bin_capacity to %d (recompile)", int(diag.bin_dropped),
-                    self.config.render.bin_capacity + self._cap_boost,
-                )
+            if int(diag.bin_dropped) > 0:
+                if cap_now < 256:
+                    # geometric growth: a 16-step against thousands of drops
+                    # would re-fire (and recompile) every diag window —
+                    # doubling converges in <= 2 recompiles
+                    self._cap_boost = (
+                        min(cap_now * 2, 256) - self.config.render.bin_capacity
+                    )
+                    self.log.warning(
+                        "%d candidates dropped from full view bins: raising "
+                        "bin_capacity to %d (recompile)",
+                        int(diag.bin_dropped),
+                        self.config.render.bin_capacity + self._cap_boost,
+                    )
+                else:
+                    # at the adaptation ceiling: never silent, but stop
+                    # recompiling
+                    self.log.warning(
+                        "%d candidates dropped from full view bins at the "
+                        "bin_capacity ceiling (%d)", int(diag.bin_dropped),
+                        cap_now,
+                    )
             if bool(diag.cell_too_small):
                 self.log.warning(
                     "view cells smaller than capsule reach: splat coverage "

@@ -135,9 +135,7 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
     return jnp.where(inside, _BIG, jnp.abs(t))
 
 
-def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
-    """Both routes' delays between chart points q and the camera c:
-    (direct |dphi|, around-the-back 2 pi - |dphi|)."""
+def _polar_separation(qx, qy, cx, cy, hole: BTZBlackHole):
     hx, hy = hole.center[0], hole.center[1]
     rqx, rqy = qx - hx, qy - hy
     rcx, rcy = cx - hx, cy - hy
@@ -146,7 +144,22 @@ def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
     cos_d = jnp.clip(
         (rqx * rcx + rqy * rcy) / jnp.maximum(rq * rc, _EPS), -1.0, 1.0
     )
-    d_phi = jnp.arccos(cos_d)  # in [0, pi]
+    return rq, rc, jnp.arccos(cos_d)  # d_phi in [0, pi]
+
+
+def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """One route's delay between chart point q and camera c: route 0 spans
+    the minor angle |dphi|, route 1 goes around the back (2 pi - |dphi|).
+    Computing routes separately keeps the band search at one closed-form
+    evaluation per probe."""
+    rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
+    sep = jnp.maximum(d_phi, 1e-6) if route == 0 else 2.0 * jnp.pi - d_phi
+    return btz_null_delay(rq, rc, sep, hole.mass, hole.ads_l)
+
+
+def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
+    """Both routes' delays (direct |dphi|, around-the-back 2 pi - |dphi|)."""
+    rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
     t1 = btz_null_delay(rq, rc, jnp.maximum(d_phi, 1e-6), hole.mass, hole.ads_l)
     t2 = btz_null_delay(rq, rc, 2.0 * jnp.pi - d_phi, hole.mass, hole.ads_l)
     return t1, t2
@@ -173,10 +186,10 @@ def render_btz_xray(
     cxm, cym = cam.pos[0], cam.pos[1]
 
     def d1_of(qx, qy):
-        return route_delays_xy(qx, qy, cxm, cym, hole)[0]
+        return route_delay_xy(qx, qy, cxm, cym, hole, 0)
 
     def d2_of(qx, qy):
-        return route_delays_xy(qx, qy, cxm, cym, hole)[1]
+        return route_delay_xy(qx, qy, cxm, cym, hole, 1)
 
     plist = [
         _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
@@ -210,7 +223,6 @@ def render_btz_xray(
         use1 = occ1 & (~occ2 | (td1 <= td2))
         occupied = occ1 | occ2
         winner = jnp.where(use1[:, :, None], win1, win2)
-        r_eff = jnp.where(use1, td1, td2)  # optical path in time units
 
         vx = _field_at(vdat, winner, _F_VX)
         vy = _field_at(vdat, winner, _F_VY)

@@ -203,8 +203,11 @@ def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k,
     fx = jnp.zeros_like(px)
     fy = jnp.zeros_like(py)
     for s, ds in enumerate(offsets):
+        col = neighbors[:, s]
+        bonded = col >= 0  # the -1 sentinel would otherwise match iota + d
+        # at i == -1 - d, phantom-bonding low indices to wrapped lanes
         for d in ds:
-            sel = neighbors[:, s] == iota + d
+            sel = bonded & (col == iota + d)
             dx = px - jnp.roll(px, -d)
             dy = py - jnp.roll(py, -d)
             dist = jnp.sqrt(dx * dx + dy * dy)
@@ -227,8 +230,10 @@ def bond_damping_shifted(px, py, vx, vy, neighbors, offsets, c_pp):
     fx = jnp.zeros_like(px)
     fy = jnp.zeros_like(py)
     for s, ds in enumerate(offsets):
+        col = neighbors[:, s]
+        bonded = col >= 0  # exclude the -1 sentinel (see spring_forces_shifted)
         for d in ds:
-            sel = neighbors[:, s] == iota + d
+            sel = bonded & (col == iota + d)
             dx = px - jnp.roll(px, -d)
             dy = py - jnp.roll(py, -d)
             dvx = vx - jnp.roll(vx, -d)
@@ -254,8 +259,10 @@ def bonded_repulsion_shifted(px, py, neighbors, offsets, collision_distance,
     fx = jnp.zeros_like(px)
     fy = jnp.zeros_like(py)
     for s, ds in enumerate(offsets):
+        col = neighbors[:, s]
+        bonded = col >= 0  # exclude the -1 sentinel (see spring_forces_shifted)
         for d in ds:
-            sel = neighbors[:, s] == iota + d
+            sel = bonded & (col == iota + d)
             dx = px - jnp.roll(px, -d)
             dy = py - jnp.roll(py, -d)
             dist2 = dx * dx + dy * dy

@@ -61,8 +61,11 @@ def particle_materials(
         and np.all(per_p[:, 2] == 1.0)
     ):
         return None
+    # per-field fast path: an all-default column becomes None so the force
+    # kernels skip its arithmetic entirely (e.g. a stiffness-only table
+    # pays nothing for damping)
     return ParticleMaterials(
-        k_scale=jnp.asarray(per_p[:, 0]),
-        damping=jnp.asarray(per_p[:, 1]),
-        break_scale=jnp.asarray(per_p[:, 2]),
+        k_scale=None if np.all(per_p[:, 0] == 1.0) else jnp.asarray(per_p[:, 0]),
+        damping=None if np.all(per_p[:, 1] == 0.0) else jnp.asarray(per_p[:, 1]),
+        break_scale=None if np.all(per_p[:, 2] == 1.0) else jnp.asarray(per_p[:, 2]),
     )

@@ -98,9 +98,11 @@ def break_bonds_shifted(pos, neighbors, offsets, threshold, break_scale=None):
     n_broken = jnp.int32(0)
     for s, ds in enumerate(offsets):
         col = neighbors[:, s]
+        bonded = col >= 0  # the -1 sentinel would match iota + d at
+        # i == -1 - d, inflating bonds_broken with phantom pairs
         broke_s = jnp.zeros((n,), bool)
         for d in ds:
-            sel = col == iota + d
+            sel = bonded & (col == iota + d)
             dx = px - jnp.roll(px, -d)
             dy = py - jnp.roll(py, -d)
             dist = jnp.sqrt(dx * dx + dy * dy)
@@ -263,7 +265,7 @@ def physics_step(
                     params.collision_repulsion_coefficient,
                 )
                 sfx, sfy = sfx - bfx, sfy - bfy
-                if materials is not None:
+                if materials is not None and materials.damping is not None:
                     dfx, dfy = forces_ops.bond_damping_shifted(
                         pos[:, 0], pos[:, 1], vel0[:, 0], vel0[:, 1], nbr,
                         spring_offsets, materials.damping,

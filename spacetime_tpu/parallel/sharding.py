@@ -81,6 +81,7 @@ def make_sharded_frame(
     height: int,
     mesh: Mesh,
     axis: str = "d",
+    materials=None,  # ops.materials.ParticleMaterials (replicated)
 ):
     """One fused frame — physics step + worldline push + retarded render —
     jitted over the mesh: particles and ring planes shard on the particle
@@ -100,7 +101,7 @@ def make_sharded_frame(
     img_shard = NamedSharding(mesh, P(axis))  # rows of the image
 
     def frame(particles: Particles, buf: wl.WorldlineBuffer, cam: Camera, t):
-        particles, aux = model.step(particles)
+        particles, aux = model.step(particles, materials)
         buf = wl.push_frame(buf, particles, t)
         img = raytrace.render_retarded(
             buf, particles.object_index, objects, cam,
@@ -116,12 +117,14 @@ def make_sharded_frame(
     )
 
 
-def make_sharded_step(model: SoftbodyModel, mesh: Mesh, axis: str = "d"):
-    """Physics-only sharded step (no renderer), for scaling the simulation."""
+def make_sharded_step(model: SoftbodyModel, mesh: Mesh, axis: str = "d",
+                      materials=None):
+    """Physics-only sharded step (no renderer), for scaling the simulation.
+    `materials` (per-particle planes) is closed over and replicated."""
     p_shard = particle_sharding(mesh, axis)
 
     def step(particles: Particles):
-        new, aux = model.step(particles)
+        new, aux = model.step(particles, materials)
         return new
 
     return jax.jit(step, in_shardings=(p_shard,), out_shardings=p_shard)

@@ -233,7 +233,10 @@ def config_btz_hole() -> EngineConfig:
         history=512,
         cam_pos=(0.5, 0.08),
         render_mode="btz",
-        btz=((0.5, 0.55), 0.005, 4.0),  # r_h = 4 sqrt(0.005) ~ 0.28
+        # r_h = 4 sqrt(4e-4) = 0.08: blobs (radius ~0.11, centers 0.25 ls
+        # from the hole) stay >= 0.14 ls outside the horizon for the whole
+        # vertical pass — bodies inside r_h would simply never render
+        btz=((0.5, 0.5), 4.0e-4, 4.0),
     )
 
 
