@@ -111,6 +111,11 @@ class Engine:
         # optional utils.replay.ReplayRecorder: logs per-frame inputs for
         # bit-exact session replay (no reference analog — debugging aid)
         self.recorder = None
+        # per-frame sync on the PREVIOUS frame (double-buffer semantics,
+        # honest frame timing).  Disable to measure pipelined device
+        # throughput through high-latency links (each block_until_ready
+        # costs a full host<->device round trip; tools/bench_configs.py)
+        self.sync_per_frame = True
         self.stats = StatsWindow()
         self.last_aux = None
         self.last_diag = None
@@ -438,7 +443,7 @@ class Engine:
                 jnp.float32(self.time),
             )
             self.time += frame_dt
-            if self._prev_img is not None:
+            if self._prev_img is not None and self.sync_per_frame:
                 jax.block_until_ready(self._prev_img)
             self._prev_img = img
             t2 = t3 = time.perf_counter()

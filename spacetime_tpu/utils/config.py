@@ -84,7 +84,8 @@ def config_single_blob() -> EngineConfig:
         cam_pos=(0.65, 0.5),
         # small image -> few view cells -> dense bins: pre-size capacity so
         # the diagnostics adaptation doesn't need a startup recompile
-        render=RenderParams(bin_capacity=192),
+        # (drop-free at 256 for this scene; adds ~2 ms vs a dropping 64)
+        render=RenderParams(bin_capacity=256),
     )
 
 

@@ -19,6 +19,9 @@ def bench(name, warm=100, timed=40):
     # what we measure
     cfg = get_config(name)
     eng = Engine(cfg)
+    # pipelined throughput: per-frame syncs through the axon tunnel cost a
+    # ~25 ms host<->device round trip each and would swamp the device time
+    eng.sync_per_frame = False
     t0 = time.perf_counter()
     img = None
     for _ in range(warm):
