@@ -106,3 +106,24 @@ def test_float_frames_and_frame_counter(sink):
         sink.submit(frame)
         time.sleep(0.02)
     assert sink.frames_encoded > before
+
+
+def test_python_fallback_server():
+    """The PIL/http.server fallback must work where the native lib can't."""
+    from spacetime_tpu.utils.streamsink import _PyMjpegServer
+
+    srv = _PyMjpegServer(port=0, quality=85)
+    try:
+        rgb = np.zeros((48, 64, 3), np.uint8)
+        rgb[:] = (0, 255, 0)
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as c:
+            c.sendall(b"GET /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+            f = c.makefile("rb")
+            status, headers = _read_headers(f)
+            assert "multipart/x-mixed-replace" in headers["content-type"]
+            srv.submit(rgb)
+            srv.submit(rgb)
+            _, data = _read_part(f)
+            assert data[:2] == b"\xff\xd8"
+    finally:
+        srv.close()
