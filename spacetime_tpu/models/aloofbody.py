@@ -67,25 +67,30 @@ class AloofBody:
     def num_points(self) -> int:
         return self.template.shape[0]
 
-    def state_at(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
+    def state_at(self, t) -> Tuple["jnp.ndarray", "jnp.ndarray"]:
         """Ground-frame (pos (M,2), vel (M,2)) at coordinate time t, with the
-        template Lorentz-contracted along the motion by 1/gamma."""
+        template Lorentz-contracted along the motion by 1/gamma.
+
+        Written in jnp and branch-free so it TRACES: with a traced `t` (and
+        a jnp-compatible trajectory) the whole injection runs inside the
+        engine's fused frame program — no per-tick host round trip."""
+        import jax
+        import jax.numpy as jnp
+
         center, vel = self.trajectory(t)
-        center = np.asarray(center, np.float32)
-        vel = np.asarray(vel, np.float32)
-        v2 = float(vel @ vel)
-        if v2 >= 1.0:
-            raise ValueError(f"aloofbody speed {np.sqrt(v2):.4f} >= c")
-        if v2 > 1e-12:
-            inv_gamma = float(np.sqrt(1.0 - v2))
-            v_hat = vel / np.sqrt(v2)
-            par = (self.template @ v_hat)[:, None] * v_hat[None, :]
-            perp = self.template - par
-            pts = perp + par * inv_gamma
-        else:
-            pts = self.template
+        center = jnp.asarray(center, jnp.float32)
+        vel = jnp.asarray(vel, jnp.float32)
+        v2 = vel @ vel
+        if not isinstance(v2, jax.core.Tracer) and float(v2) >= 1.0:
+            raise ValueError(f"aloofbody speed {float(v2) ** 0.5:.4f} >= c")
+        inv_gamma = jnp.sqrt(jnp.clip(1.0 - v2, 1e-12, 1.0))
+        speed = jnp.sqrt(jnp.maximum(v2, 1e-24))
+        v_hat = jnp.where(v2 > 1e-12, vel / speed, jnp.zeros_like(vel))
+        tmpl = jnp.asarray(self.template, jnp.float32)
+        par = (tmpl @ v_hat)[:, None] * v_hat[None, :]
+        pts = (tmpl - par) + par * inv_gamma  # == tmpl when v ~ 0
         pos = pts + center[None, :]
-        return pos.astype(np.float32), np.broadcast_to(vel, pos.shape).astype(np.float32)
+        return pos, jnp.broadcast_to(vel, pos.shape)
 
 
 def linear_trajectory(p0: Sequence[float], vel: Sequence[float]):
@@ -100,14 +105,16 @@ def linear_trajectory(p0: Sequence[float], vel: Sequence[float]):
 
 
 def circular_trajectory(center: Sequence[float], radius: float, speed: float):
-    """Uniform circular motion (|v| = speed < c)."""
+    """Uniform circular motion (|v| = speed < c); jnp ops so it traces."""
+    import jax.numpy as jnp
+
     c = np.asarray(center, np.float32)
     omega = speed / radius
 
-    def traj(t: float):
+    def traj(t):
         a = omega * t
-        pos = c + radius * np.array([np.cos(a), np.sin(a)], np.float32)
-        vel = speed * np.array([-np.sin(a), np.cos(a)], np.float32)
+        pos = c + radius * jnp.stack([jnp.cos(a), jnp.sin(a)])
+        vel = speed * jnp.stack([-jnp.sin(a), jnp.cos(a)])
         return pos, vel
 
     return traj
