@@ -131,6 +131,15 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
     t = jnp.where(a2 < 1e-9, t_deg, t_gen)
 
     r_h = l * mu
+    # near-radial geodesics: the BVP solve cancels catastrophically as
+    # dphi -> 0 (A ~ 1/dphi); the radial null path has its own closed form
+    # t = integral dr / f = (l/2mu) ln[((rb-rh)(ra+rh)) / ((rb+rh)(ra-rh))]
+    t_rad = (l / (2.0 * mu)) * jnp.abs(jnp.log(
+        jnp.maximum((rb - r_h) * (ra + r_h), _EPS)
+        / jnp.maximum((rb + r_h) * (ra - r_h), _EPS)
+    ))
+    t = jnp.where(dphi < 3e-3, t_rad, t)
+
     inside = (ra <= r_h) | (rb <= r_h)
     return jnp.where(inside, _BIG, jnp.abs(t))
 

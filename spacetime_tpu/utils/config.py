@@ -234,10 +234,13 @@ def config_btz_hole() -> EngineConfig:
         history=512,
         cam_pos=(0.5, 0.08),
         render_mode="btz",
-        # r_h = 4 sqrt(4e-4) = 0.08: blobs (radius ~0.11, centers 0.25 ls
-        # from the hole) stay >= 0.14 ls outside the horizon for the whole
-        # vertical pass — bodies inside r_h would simply never render
-        btz=((0.5, 0.5), 4.0e-4, 4.0),
+        # ads_l ~ the scene scale so the lapse f = r^2/l^2 - M is O(1) where
+        # the bodies live (with l >> scene, f << 1 makes coordinate light
+        # crawl and every retarded image falls outside the stored history —
+        # and flat-chart physics at 0.3c would outrun local light).
+        # r_h = 0.45 sqrt(0.03) = 0.078 (a ~40 px disc at this zoom); blobs
+        # stay >= 0.14 ls outside it for the whole vertical pass.
+        btz=((0.5, 0.5), 0.03, 0.45),
     )
 
 

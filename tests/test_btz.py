@@ -46,6 +46,21 @@ def test_closed_form_matches_quadrature():
         np.testing.assert_allclose(got, want, rtol=2e-3), (ra, rb, dphi)
 
 
+def test_near_radial_stable():
+    """dphi -> 0 degenerates the BVP solve (A ~ 1/dphi, catastrophic f32
+    cancellation); the radial closed form must take over, matching float64
+    quadrature and never going NaN."""
+    M, l = 0.03, 0.45
+    for ra, rb in [(0.2, 0.42), (0.3, 0.3), (0.1, 0.4)]:
+        want = _delay_quadrature(ra, rb, 1e-3, M, l) if ra != rb else None
+        for dphi in (1e-6, 1e-4, 1e-3):
+            got = float(btz.btz_null_delay(ra, rb, dphi, M, l))
+            assert np.isfinite(got), (ra, rb, dphi)
+        if want is not None:
+            got = float(btz.btz_null_delay(ra, rb, 1e-3, M, l))
+            np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
 def test_delay_symmetric_in_endpoints():
     M, l = 0.04, 3.0
     for ra, rb, dphi in [(1.0, 2.0, 1.3), (0.8, 3.0, 2.8), (2.5, 2.5, 0.7)]:
@@ -89,7 +104,9 @@ def test_btz_double_image_render():
     )
     flat = np.asarray(raytrace.render_retarded(
         buf, particles.object_index, objects, cam, 128, 128, params))
-    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=1.2)
+    # ads_l ~ scene scale keeps the lapse O(1) where matter lives (see
+    # config_btz_hole); r_h = 0.4 sqrt(0.02) = 0.057
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
     img = np.asarray(btz.render_btz_xray(
         buf, particles.object_index, objects, cam, hole, 128, 128, params))
     n_flat = (flat.min(-1) < 0.9).sum()
