@@ -54,12 +54,14 @@ from .raytrace import (
     PairData,
     RenderParams,
     _BIG,
+    _PI,
     _assemble_image,
     _band_pairs,
     _build_view_tables,
     _cell_pixel_coords,
     _occupancy_cells,
     _field_at,
+    _F_AX, _F_AY, _F_BX, _F_BY, _F_TA,
     _F_VX, _F_VY, _F_CR, _F_CG, _F_CB,
     camera_doppler_factor_xy,
     doppler_factor_xy,
@@ -156,6 +158,91 @@ def _polar_separation(qx, qy, cx, cy, hole: BTZBlackHole):
     return rq, rc, jnp.arccos(cos_d)  # d_phi in [0, pi]
 
 
+def arrival_bearing_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """Chart bearing (radians, atan2 convention) at the CAMERA of the route
+    geodesic toward chart point q, plus its delay — closed form.
+
+    Solves the orbit BVP with the camera at phi = 0: u(phi) =
+    A e^{mu phi} + B e^{-mu phi}, so the departure direction of the
+    backward ray (= arrival direction of the light) is
+    (dr/dphi) r_hat + r phi_hat per unit phi, with dr/dphi = -u'(0)/u_c^2
+    and the angular sense s = toward the emitter (route 0 the minor way,
+    route 1 around the back)."""
+    hx, hy = hole.center[0], hole.center[1]
+    M, l = hole.mass, hole.ads_l
+    mu = jnp.sqrt(M)
+    rqx, rqy = qx - hx, qy - hy
+    rcx, rcy = cx - hx, cy - hy
+    rq = jnp.sqrt(rqx * rqx + rqy * rqy)
+    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
+    phi_c = jnp.arctan2(rcy, rcx)
+    phi_q = jnp.arctan2(rqy, rqx)
+    delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # (-pi, pi]
+    sgn = jnp.where(delta >= 0, 1.0, -1.0)
+    if route == 0:
+        dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
+        s = sgn
+    else:
+        dphi = 2.0 * jnp.pi - jnp.abs(delta)
+        s = -sgn
+    u_c = 1.0 / jnp.maximum(rc, _EPS)
+    u_q = 1.0 / jnp.maximum(rq, _EPS)
+    e = jnp.exp(mu * dphi)
+    A = (u_q - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
+    B = u_c - A
+    du0 = mu * (A - B)  # du/dphi at the camera
+    dr_dphi = -du0 / (u_c * u_c)
+    # tangent per unit sweep phi: radial dr/dphi (sense-free — the sweep
+    # parameter already runs along the travel), tangential r in the sense s
+    dx_r = dr_dphi
+    dx_t = rc
+    rhx, rhy = rcx / jnp.maximum(rc, _EPS), rcy / jnp.maximum(rc, _EPS)
+    thx, thy = -rhy * s, rhx * s
+    vx = dx_r * rhx + dx_t * thx
+    vy = dx_r * rhy + dx_t * thy
+    bearing = jnp.arctan2(vy, vx)
+    delay = btz_null_delay(rq, rc, dphi, M, l)
+    return bearing, delay
+
+
+def sample_orbit(qx, qy, cx, cy, hole: BTZBlackHole, route: int, n: int):
+    """(n,) chart points and delays along the route geodesic from the CAMERA
+    to q — closed form per sample (oracle/visualization use).  Returns
+    (xs, ys, delays) with delays measured from the camera end."""
+    hx, hy = hole.center[0], hole.center[1]
+    M, l = hole.mass, hole.ads_l
+    mu = jnp.sqrt(M)
+    rqx, rqy = qx - hx, qy - hy
+    rcx, rcy = cx - hx, cy - hy
+    rq = jnp.sqrt(rqx * rqx + rqy * rqy)
+    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
+    phi_c = jnp.arctan2(rcy, rcx)
+    phi_q = jnp.arctan2(rqy, rqx)
+    delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    sgn = jnp.where(delta >= 0, 1.0, -1.0)
+    if route == 0:
+        dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
+        s = sgn
+    else:
+        dphi = 2.0 * jnp.pi - jnp.abs(delta)
+        s = -sgn
+    u_c = 1.0 / jnp.maximum(rc, _EPS)
+    u_q = 1.0 / jnp.maximum(rq, _EPS)
+    e = jnp.exp(mu * dphi)
+    A = (u_q - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
+    B = u_c - A
+    frac = jnp.linspace(0.0, 1.0, n)
+    phis = dphi * frac
+    u = A * jnp.exp(mu * phis) + B * jnp.exp(-mu * phis)
+    r = 1.0 / jnp.maximum(u, _EPS)
+    ang = phi_c + s * phis
+    xs = hx + r * jnp.cos(ang)
+    ys = hy + r * jnp.sin(ang)
+    # delay from camera to each sample: same closed form, partial upper limit
+    delays = btz_null_delay(r, rc, jnp.maximum(phis, 1e-5), M, l)
+    return xs, ys, delays
+
+
 def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """One route's delay between chart point q and camera c: route 0 spans
     the minor angle |dphi|, route 1 goes around the back (2 pi - |dphi|).
@@ -174,6 +261,50 @@ def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
     return t1, t2
 
 
+def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
+                n_rays: int):
+    """1D occlusion retina over ARRIVAL BEARING at the camera: every pair
+    whose event is cone-consistent with a route (emitted at t_now - that
+    route's delay) scatter-mins its delay into the bearing bins covering its
+    angular footprint.  Needs no per-pair route identity: both routes are
+    tested, the inconsistent one simply fails the cone gate."""
+    pd = pairs.pdata
+    cxm, cym = cam.pos[0], cam.pos[1]
+    ex = 0.5 * (pd[:, _F_AX] + pd[:, _F_BX])
+    ey = 0.5 * (pd[:, _F_AY] + pd[:, _F_BY])
+    t_mid = pd[:, _F_TA] + 0.5 * dt
+    half_sweep = 0.5 * jnp.sqrt(
+        (pd[:, _F_BX] - pd[:, _F_AX]) ** 2 + (pd[:, _F_BY] - pd[:, _F_AY]) ** 2
+    )
+    chart_d = jnp.sqrt((ex - cxm) ** 2 + (ey - cym) ** 2)
+    # angular footprint (first order; the oracle budget absorbs bending of
+    # the footprint itself)
+    w_ang = (rho + half_sweep) / jnp.maximum(chart_d, 1e-6)
+    binw = 2.0 * _PI / n_rays
+    kmax = 8  # static scatter width cap (bins)
+    retina = jnp.full((n_rays,), _BIG, jnp.float32)
+    for route in (0, 1):
+        beta, delay = arrival_bearing_xy(ex, ey, cxm, cym, hole, route)
+        # cone gate: the event really was emitted one route-delay ago
+        # (slack: the crossing lies within the tick + capsule radius)
+        slack = 1.5 * dt + (rho + half_sweep) * delay / jnp.maximum(chart_d, 1e-6)
+        ok = (
+            pairs.pair_valid
+            & (delay < _BIG)
+            & (jnp.abs((t_now - delay) - t_mid) <= slack)
+        )
+        d_val = jnp.where(ok, delay, _BIG)
+        bi = jnp.floor((beta + _PI) / binw).astype(jnp.int32)
+        kw = jnp.minimum(
+            jnp.ceil(w_ang / binw).astype(jnp.int32), kmax
+        )
+        for k in range(-kmax, kmax + 1):
+            use = jnp.abs(k) <= kw
+            idx = jnp.mod(bi + k, n_rays)
+            retina = retina.at[idx].min(jnp.where(use, d_val, _BIG))
+    return retina
+
+
 @partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
 def render_btz_xray(
     buf: WorldlineBuffer,
@@ -186,13 +317,17 @@ def render_btz_xray(
     params: RenderParams,
     planar: bool = False,
 ) -> jax.Array:
-    """X-ray retarded render around a BTZ black hole: per pixel, matter is
-    shown at the retarded time of whichever of the two geodesic routes hits
-    (shorter delay wins) — double images with gravitational time delay.
-    Pixels inside the horizon render black."""
+    """Retarded render around a BTZ black hole: per pixel, matter is shown
+    at the retarded time of whichever of the two geodesic routes hits
+    (shortest VISIBLE delay wins) — double images with gravitational time
+    delay.  Opaque mode (params.opaque) occludes along the CURVED routes via
+    a 1D retina over arrival bearing at the camera (_btz_retina); shading
+    uses the exact closed-form arrival direction per route.  Pixels inside
+    the horizon render black."""
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
+    use_rays = params.opaque and params.retarded
 
     def d1_of(qx, qy):
         return route_delay_xy(qx, qy, cxm, cym, hole, 0)
@@ -218,31 +353,68 @@ def render_btz_xray(
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
 
+    n_rays = params.num_rays
+    if use_rays:
+        retina = _btz_retina(pairs, cam, t_now, hole, dt, rho, n_rays)
+        retina_rows = jnp.broadcast_to(retina[:, None], (n_rays, 8))
+
     pxs, pys = _cell_pixel_coords(width, height, cam, params)
     cb = params.cells_per_block
     n_blocks = pxs.shape[0] // cb
 
     def block_fn(args):
         vdat, vok, px, py = args
-        td1, td2 = route_delays_xy(px, py, cxm, cym, hole)
-        occ1, win1 = _occupancy_cells(px, py, t_now - td1, vdat, vok, dt, rho)
-        occ2, win2 = _occupancy_cells(px, py, t_now - td2, vdat, vok, dt, rho)
-        occ1 = occ1 & (td1 < _BIG)
-        occ2 = occ2 & (td2 < _BIG)
-        use1 = occ1 & (~occ2 | (td1 <= td2))
-        occupied = occ1 | occ2
-        winner = jnp.where(use1[:, :, None], win1, win2)
+        chart_d = jnp.maximum(
+            jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), 1e-6
+        )
+        routes = []
+        for r in (0, 1):
+            beta, td = arrival_bearing_xy(px, py, cxm, cym, hole, r)
+            occ, win = _occupancy_cells(px, py, t_now - td, vdat, vok, dt, rho)
+            occ = occ & (td < _BIG)
+            if use_rays:
+                ri = jnp.clip(
+                    jnp.floor((beta + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
+                    0, n_rays - 1,
+                )
+                first = retina_rows[ri][..., 0]
+                margin = 2.0 * rho * td / chart_d  # delay-units capsule slack
+                blk = first < (td - margin)
+            else:
+                blk = jnp.zeros_like(occ)
+            routes.append(dict(td=td, occ=occ, win=win, blk=blk, beta=beta))
+
+        td1, td2 = routes[0]["td"], routes[1]["td"]
+        sel1 = routes[0]["occ"] & ~routes[0]["blk"]
+        sel2 = routes[1]["occ"] & ~routes[1]["blk"]
+        use1_vis = sel1 & (~sel2 | (td1 <= td2))
+        visible = sel1 | sel2
+        use1_occ = routes[0]["occ"] & (~routes[1]["occ"] | (td1 <= td2))
+        occupied = routes[0]["occ"] | routes[1]["occ"]
+        use1 = jnp.where(visible, use1_vis, use1_occ)
+        winner = jnp.where(use1[:, :, None], routes[0]["win"], routes[1]["win"])
+        beta_w = jnp.where(use1, routes[0]["beta"], routes[1]["beta"])
 
         vx = _field_at(vdat, winner, _F_VX)
         vy = _field_at(vdat, winner, _F_VY)
-        inv_r = 1.0 / jnp.maximum(
-            jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), _EPS
-        )
-        nx = (cxm - px) * inv_r  # chart-direction approximation (docstring)
-        ny = (cym - py) * inv_r
+        # exact closed-form arrival direction (light arrives FROM bearing
+        # beta, so the propagation direction at the camera is -beta-ward).
+        # Approximation: the source Doppler term also uses the camera-side
+        # direction (the emitter-side tangent differs along a bent route).
+        nx = -jnp.cos(beta_w)
+        ny = -jnp.sin(beta_w)
         d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
             cam.vel[0], cam.vel[1], nx, ny
         )
+        # gravitational redshift between static frames: nu_obs/nu_emit =
+        # sqrt(f(r_emit)/f(r_cam)) — matter deeper in the well reddens
+        hx_, hy_ = hole.center[0], hole.center[1]
+        r_e = jnp.sqrt((px - hx_) ** 2 + (py - hy_) ** 2)
+        r_c = jnp.sqrt((cxm - hx_) ** 2 + (cym - hy_) ** 2)
+        f_of = lambda r: jnp.maximum(
+            r * r / (hole.ads_l**2) - hole.mass, 0.0
+        )
+        d = d * jnp.sqrt(f_of(r_e) / jnp.maximum(f_of(r_c), 1e-6))
         cr = _field_at(vdat, winner, _F_CR)
         cg = _field_at(vdat, winner, _F_CG)
         cb_ = _field_at(vdat, winner, _F_CB)
@@ -252,8 +424,29 @@ def render_btz_xray(
         hx, hy = hole.center[0], hole.center[1]
         in_hole = ((px - hx) ** 2 + (py - hy) ** 2) < hole.r_h**2
 
-        def compose(s):
-            return jnp.where(in_hole, 0.0, jnp.where(occupied, s, 1.0))
+        if use_rays:
+            bg_blocked = (routes[0]["blk"] | (td1 >= _BIG)) & (
+                routes[1]["blk"] | (td2 >= _BIG)
+            ) & ((td1 < _BIG) | (td2 < _BIG))
+
+            def compose(s):
+                return jnp.where(
+                    in_hole, 0.0,
+                    jnp.where(
+                        visible, s,
+                        jnp.where(
+                            occupied, s * params.absorbed_dim,
+                            jnp.where(
+                                bg_blocked, jnp.float32(params.shadow), 1.0
+                            ),
+                        ),
+                    ),
+                )
+
+        else:
+
+            def compose(s):
+                return jnp.where(in_hole, 0.0, jnp.where(occupied, s, 1.0))
 
         return jnp.stack([compose(sr), compose(sg), compose(sb)], axis=1)
 
@@ -267,3 +460,161 @@ def render_btz_xray(
         ),
     )
     return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+
+
+# keep the historical name: the renderer now honors params.opaque too
+render_btz = render_btz_xray
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "n_samples"))
+def render_btz_brute(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    hole: BTZBlackHole,
+    width: int,
+    height: int,
+    params: RenderParams,
+    n_samples: int = 48,
+) -> jax.Array:
+    """Exhaustive BTZ oracle: per pixel and route, occupancy by testing every
+    (slot, particle) segment at the route's retarded time, and OCCLUSION by
+    walking `n_samples` closed-form points along the pixel's actual curved
+    geodesic, testing every segment at each point's own retarded time.
+    Independent of the fast path's bearing-retina — defines correct output
+    for render_btz_xray's opaque mode (tiny scenes)."""
+    from .raytrace import _occupancy_xy, _segment_data
+    from ..camera import pixel_centers
+
+    dt, rho = params.dt, params.rho
+    t_now = buf.times[buf.cursor]
+    cxm, cym = cam.pos[0], cam.pos[1]
+    use_rays = params.opaque and params.retarded
+    M, l = hole.mass, hole.ads_l
+    mu = jnp.sqrt(M)
+    hx, hy = hole.center[0], hole.center[1]
+
+    qax, qay, qbx, qby, ta, seg_valid = _segment_data(buf, dt)
+    t_cap, n = qax.shape
+    fax, fay = qax.reshape(-1), qay.reshape(-1)
+    fbx, fby = qbx.reshape(-1), qby.reshape(-1)
+    fta = jnp.repeat(ta, n)
+    valid_f = jnp.repeat(seg_valid, n) & (jnp.abs(fax) < 1e8)
+    fobj = jnp.tile(obj_index, t_cap)
+    fvx = buf.vel_x[:t_cap].reshape(-1)
+    fvy = buf.vel_y[:t_cap].reshape(-1)
+
+    pc = pixel_centers(width, height, cam)
+    px = pc[..., 0].reshape(-1)
+    py = pc[..., 1].reshape(-1)
+    chart_d = jnp.maximum(jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), 1e-6)
+
+    rpx, rpy = px - hx, py - hy
+    rcx, rcy = cxm - hx, cym - hy
+    rp = jnp.sqrt(rpx * rpx + rpy * rpy)
+    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
+    phi_c = jnp.arctan2(rcy, rcx)
+    phi_p = jnp.arctan2(rpy, rpx)
+    delta = jnp.mod(phi_p - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    sgn = jnp.where(delta >= 0, 1.0, -1.0)
+    u_c = 1.0 / jnp.maximum(rc, _EPS)
+    u_p = 1.0 / jnp.maximum(rp, _EPS)
+
+    def route_pass(route):
+        if route == 0:
+            dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
+            s = sgn
+        else:
+            dphi = 2.0 * jnp.pi - jnp.abs(delta)
+            s = -sgn
+        td = btz_null_delay(rp, rc, dphi, M, l)
+        inside, dist2 = _occupancy_xy(
+            px[:, None], py[:, None], (t_now - td)[:, None],
+            fax[None], fay[None], fbx[None], fby[None], fta[None], dt, rho,
+        )
+        inside = inside & valid_f[None, :]
+        dist2 = jnp.where(inside, dist2, _BIG)
+        best = jnp.argmin(dist2, axis=1)
+        occ = jnp.take_along_axis(inside, best[:, None], axis=1)[:, 0]
+        occ = occ & (td < _BIG)
+
+        if not use_rays:
+            return td, occ, best, jnp.zeros_like(occ)
+
+        # orbit coefficients per pixel (camera at phi = 0)
+        e = jnp.exp(mu * dphi)
+        A = (u_p - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
+        B = u_c - A
+        margin = 2.0 * rho * td / chart_d
+
+        def body(blocked, frac):
+            phis = dphi * frac
+            u = A * jnp.exp(mu * phis) + B * jnp.exp(-mu * phis)
+            r = 1.0 / jnp.maximum(u, _EPS)
+            ang = phi_c + s * phis
+            sx = hx + r * jnp.cos(ang)
+            sy = hy + r * jnp.sin(ang)
+            dj = btz_null_delay(r, rc, jnp.maximum(phis, 1e-5), M, l)
+            hit, _ = _occupancy_xy(
+                sx[:, None], sy[:, None], (t_now - dj)[:, None],
+                fax[None], fay[None], fbx[None], fby[None], fta[None],
+                dt, rho,
+            )
+            hit = jnp.any(hit & valid_f[None, :], axis=1)
+            hit = hit & (dj < td - margin) & (dj < _BIG)
+            return blocked | hit, None
+
+        fracs = jnp.linspace(0.02, 0.995, n_samples)
+        blocked, _ = jax.lax.scan(body, jnp.zeros_like(occ), fracs)
+        return td, occ, best, blocked
+
+    td1, occ1, best1, blk1 = route_pass(0)
+    td2, occ2, best2, blk2 = route_pass(1)
+
+    sel1 = occ1 & ~blk1
+    sel2 = occ2 & ~blk2
+    use1_vis = sel1 & (~sel2 | (td1 <= td2))
+    visible = sel1 | sel2
+    use1_occ = occ1 & (~occ2 | (td1 <= td2))
+    occupied = occ1 | occ2
+    use1 = jnp.where(visible, use1_vis, use1_occ)
+    best = jnp.where(use1, best1, best2)
+
+    beta1, _ = arrival_bearing_xy(px, py, cxm, cym, hole, 0)
+    beta2, _ = arrival_bearing_xy(px, py, cxm, cym, hole, 1)
+    beta = jnp.where(use1, beta1, beta2)
+    nx, ny = -jnp.cos(beta), -jnp.sin(beta)
+    obj = fobj[best]
+    cr = objects.base_color[:, 0][obj]
+    cg = objects.base_color[:, 1][obj]
+    cbv = objects.base_color[:, 2][obj]
+    wvx, wvy = fvx[best], fvy[best]
+    d = doppler_factor_xy(wvx, wvy, nx, ny) * camera_doppler_factor_xy(
+        cam.vel[0], cam.vel[1], nx, ny
+    )
+    f_of = lambda r: jnp.maximum(r * r / (l * l) - M, 0.0)
+    d = d * jnp.sqrt(f_of(rp) / jnp.maximum(f_of(rc), 1e-6))
+    sr, sg, sb = shade_channels(cr, cg, cbv, d, params)
+
+    in_hole = rp < hole.r_h
+    if use_rays:
+        bg_blocked = (blk1 | (td1 >= _BIG)) & (blk2 | (td2 >= _BIG)) & (
+            (td1 < _BIG) | (td2 < _BIG)
+        )
+        comp = lambda sch: jnp.where(
+            in_hole, 0.0,
+            jnp.where(
+                visible, sch,
+                jnp.where(
+                    occupied, sch * params.absorbed_dim,
+                    jnp.where(bg_blocked, jnp.float32(params.shadow), 1.0),
+                ),
+            ),
+        )
+    else:
+        comp = lambda sch: jnp.where(
+            in_hole, 0.0, jnp.where(occupied, sch, 1.0)
+        )
+    img = jnp.stack([comp(sr), comp(sg), comp(sb)], axis=-1)
+    return img.reshape(height, width, 3)

@@ -132,3 +132,82 @@ def test_btz_engine_config_renders():
     arr = np.asarray(img)
     assert arr.shape[-1] == 3
     assert (arr.max(-1) < 0.05).sum() > 0  # horizon disc
+
+
+def test_arrival_bearing_matches_orbit_tangent():
+    """Closed-form arrival bearing == finite-difference tangent of the
+    sampled orbit at the camera, for both routes and both angular signs."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.03, ads_l=0.45)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.33, 0.1), (0.05, 0.4), (-0.2, -0.3)]:
+        for route in (0, 1):
+            b, d = btz.arrival_bearing_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route)
+            xs, ys, _ = btz.sample_orbit(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route, 4096)
+            fd = np.arctan2(float(ys[1] - ys[0]), float(xs[1] - xs[0]))
+            diff = abs(((float(b) - fd) + np.pi) % (2 * np.pi) - np.pi)
+            assert diff < 0.02, (q, route, float(b), fd)
+            # the orbit actually ends at q
+            np.testing.assert_allclose(
+                [float(xs[-1]), float(ys[-1])], q, atol=1e-4)
+
+
+def test_bearing_flat_limit_is_chart_direction():
+    """Where the lapse is ~1 and the path stays far from the hole, the
+    direct-route bearing approaches the straight chart direction."""
+    hole = btz.BTZBlackHole.create(center=(-30.0, 0.0), mass=1e-4, ads_l=30.0)
+    cam = (0.0, 0.0)
+    q = (0.3, 0.2)
+    b, _ = btz.arrival_bearing_xy(
+        jnp.float32(q[0]), jnp.float32(q[1]),
+        jnp.float32(cam[0]), jnp.float32(cam[1]), hole, 0)
+    chart = np.arctan2(q[1], q[0])
+    diff = abs(((float(b) - chart) + np.pi) % (2 * np.pi) - np.pi)
+    assert diff < 0.05, (float(b), chart)
+
+
+def test_btz_opaque_matches_geodesic_oracle():
+    """BTZ opaque mode: the bearing-retina occlusion must match the
+    exhaustive oracle that walks each pixel's closed-form curved geodesic."""
+    from spacetime_tpu.models.softbody import SoftbodyModel
+
+    sb = scene.SceneBuilder()
+    sb.add(scene.disc_softbody(4, 0, (0.28, -0.25), (0.0, 0.3)),
+           base_color=(0.2, 0.9, 0.3))
+    sb.add(scene.disc_softbody(3, 1, (-0.2, -0.08), (0.05, 0.0)),
+           base_color=(0.9, 0.4, 0.2))
+    particles, objects = sb.build(capacity=256)
+    model = SoftbodyModel(capacity=particles.capacity)
+    # BTZ delays run 1.5-3x the chart distance: prefill the FULL ring so
+    # retarded images exist (128 pushed ticks = 0.64 s would be too short)
+    buf = wl.create(256, particles.capacity)
+    buf = wl.prefill_inertial(
+        buf, particles.pos, particles.vel, particles.active,
+        jnp.float32(0.0), jnp.float32(H),
+    )
+    p = particles
+    t = 0.0
+    for _ in range(80):
+        p, _ = model.step(p)
+        t += H
+        buf = wl.push_frame(buf, p, t)
+    cam = Camera.create(pos=(-0.38, 0.0), zoom=1.2)
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.03, ads_l=0.45)
+    base = raytrace.RenderParams(dt=H, opaque=True, num_rays=2048)
+    params = dataclasses.replace(
+        base, cell_px=raytrace.auto_cell_px(base, 96, 96, 1.2)
+    )
+    fast = np.asarray(btz.render_btz_xray(
+        buf, p.object_index, objects, cam, hole, 96, 96, params))
+    oracle = np.asarray(btz.render_btz_brute(
+        buf, p.object_index, objects, cam, hole, 96, 96, params))
+    mismatch = np.mean(np.any(np.abs(fast - oracle) > 0.05, axis=-1))
+    assert mismatch < 0.05, mismatch
+    # occlusion is doing something: opaque differs from x-ray
+    xray = np.asarray(btz.render_btz_xray(
+        buf, p.object_index, objects, cam, hole, 96, 96,
+        dataclasses.replace(params, opaque=False)))
+    assert np.any(np.abs(fast - xray) > 0.05)
