@@ -52,11 +52,14 @@ def run_viewer(
     max_frames: Optional[int] = None,
     script: Optional[Callable[[int], list]] = None,
     show: bool = True,
+    stream_port: Optional[int] = None,
 ) -> int:
     """Interactive loop; requires a GUI-capable matplotlib backend unless
     `show=False` (Agg).  `script(frame) -> [(key, down), ...]` injects
-    synthetic key events each frame (headless testing/demos).  Returns the
-    number of frames rendered."""
+    synthetic key events each frame (headless testing/demos).
+    `stream_port` additionally serves the live view as MJPEG over HTTP
+    (utils/streamsink.py; 0 = any free port).  Returns the number of frames
+    rendered."""
     try:
         import matplotlib.pyplot as plt
 
@@ -77,8 +80,15 @@ def run_viewer(
     fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
     fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
 
+    stream = None
     img = engine.run_frame()
-    im = ax.imshow(np.asarray(img))
+    arr0 = np.asarray(img)
+    if stream_port is not None:
+        from .utils.streamsink import StreamSink
+
+        stream = StreamSink(stream_port, arr0.shape[1], arr0.shape[0])
+        print(f"# live view: http://0.0.0.0:{stream.port}/")
+    im = ax.imshow(arr0)
     ax.set_axis_off()
     title = ax.set_title("")
     if show:
@@ -92,7 +102,10 @@ def run_viewer(
                 apply_key(keys, engine, key, down)
         img = engine.run_frame(keys=dict(keys))
         keys.pop("p", None)
-        im.set_data(np.asarray(img))
+        arr = np.asarray(img)
+        if stream is not None:
+            stream.submit(arr)
+        im.set_data(arr)
         summary = engine.stats.summary()
         title.set_text(
             f"frame {engine.frame}  {summary.get('fps_avg', 0):.1f} fps avg  "
@@ -107,4 +120,6 @@ def run_viewer(
         if max_frames is not None and frame >= max_frames:
             break
     plt.close(fig)
+    if stream is not None:
+        stream.close()
     return frame

@@ -72,3 +72,49 @@ def test_run_viewer_renders_frames():
     assert n == 3
     assert eng.frame == 4  # 1 warmup frame + 3 loop frames
     assert np.isfinite(np.asarray(eng.particles.pos)).all()
+
+
+def test_viewer_streams_mjpeg():
+    """stream_port serves the viewer's frames over HTTP while it runs."""
+    import socket
+    import threading
+
+    from spacetime_tpu.utils import streamsink as ss_mod
+
+    eng = _engine()
+    got = {}
+
+    captured = {}
+    orig = ss_mod.StreamSink
+
+    class Capture(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured["sink"] = self
+
+    ss_mod.StreamSink = Capture
+    try:
+        from spacetime_tpu.viewer import run_viewer
+
+        def reader():
+            import time as _t
+
+            deadline = _t.time() + 15
+            while "sink" not in captured and _t.time() < deadline:
+                _t.sleep(0.05)
+            sink = captured.get("sink")
+            if sink is None:
+                return
+            deadline = _t.time() + 15
+            while sink.frames_encoded == 0 and _t.time() < deadline:
+                _t.sleep(0.05)
+            got["frames"] = sink.frames_encoded
+
+        t = threading.Thread(target=reader)
+        t.start()
+        n = run_viewer(eng, max_frames=6, show=False, stream_port=0)
+        t.join(timeout=20)
+        assert n == 6
+        assert got.get("frames", 0) > 0
+    finally:
+        ss_mod.StreamSink = orig
