@@ -47,6 +47,11 @@ class SoftbodyModel:
     wmax: int = 4096
     # particles per kernel grid step (window DMA granularity)
     tile: int = 256
+    # one kernel span per grid row instead of a merged 3-row window: wins
+    # when rows are DENSE (the 2^20 capacity scene: ~4k particles/row makes
+    # the merged window ~8 DMA chunks of mostly-far candidates); loses at
+    # sparse rows where the merged window is already ~1 chunk
+    split_windows: bool = False
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -77,6 +82,7 @@ class SoftbodyModel:
             wmax=self.wmax,
             tile=self.tile,
             materials=materials,
+            split_windows=self.split_windows,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -99,6 +105,7 @@ class SoftbodyModel:
                 wmax=self.wmax,
                 tile=self.tile,
                 materials=materials,
+                split_windows=self.split_windows,
             )
             return p, aux
 

@@ -46,9 +46,13 @@ CHUNK = _SUB * _LANE  # 1024 window elements per DMA
 
 
 def _collision_kernel(
-    # scalar prefetch
-    wrow_ref,  # (n_tiles,) i32 — window start chunk-row per tile
-    wlen_ref,  # (n_tiles,) i32 — window length (elements) per tile
+    # scalar prefetch (S = spans per tile: 1 = merged window, 3 = one per
+    # grid row — see build_sorted_order's split_windows).  Span-major
+    # (S, n_tiles): SMEM pads the MINOR dim to 128, so (n_tiles, S) would
+    # waste 42x the scalar memory and overflow SMEM at 2^20 particles
+    wrow_ref,  # (S, n_tiles) i32 — span start CHUNK row
+    wlo_ref,  # (S, n_tiles) i32 — first valid element (from chunk start)
+    whi_ref,  # (S, n_tiles) i32 — end of valid elements (from chunk start)
     *refs,
     tile: int,
     wmax: int,
@@ -78,85 +82,102 @@ def _collision_kernel(
         hbm_bufs = ((srt_x_hbm, wx_ref, 0), (srt_y_hbm, wy_ref, 1))
 
     t = pl.program_id(0)
-    wrow = wrow_ref[t]
-    wlen = jnp.minimum(wlen_ref[t], wmax)
-    # dynamic trip count: typical windows are 1-2 chunks, wmax is the bound
-    n_chunks = jnp.minimum((wlen + CHUNK - 1) // CHUNK, wmax // CHUNK)
+    n_spans = wrow_ref.shape[0]
+    # single merged window: overscan up to the chunk end is provably far
+    # (>= 2 cells in x or y) or a BIGPOS sentinel, so no index masking is
+    # needed on the fast path.  Multi-span windows MUST mask [lo, hi): a
+    # span's chunk-aligned head/tail can reach into a NEIGHBORING span's
+    # rows — near pairs that would be double-counted.
+    mask_window = n_spans > 1 or exclude_bonds
 
     own_x = own_x_ref[t].reshape(tile, 1)
     own_y = own_y_ref[t].reshape(tile, 1)
     if exclude_bonds:
         own_id = own_id_ref[t].reshape(tile, 1)
 
-    def dma(slot, c):
-        return [
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(wrow + c, 1)], vref.at[pl.ds(slot, 1)],
-                sems.at[slot, k],
-            )
-            for hbm, vref, k in hbm_bufs
-        ]
+    fx = jnp.zeros((tile,), jnp.float32)
+    fy = jnp.zeros((tile,), jnp.float32)
+    for j in range(n_spans):
+        wrow = wrow_ref[j, t]
+        lo = wlo_ref[j, t]
+        hi = jnp.minimum(whi_ref[j, t], wmax)
+        # dynamic trip count: typical spans are 1-2 chunks, wmax the bound
+        n_chunks = jnp.minimum((hi + CHUNK - 1) // CHUNK, wmax // CHUNK)
 
-    @pl.when(n_chunks > 0)  # empty windows (inactive tail tiles) start no DMA
-    def _():
-        for cp in dma(0, 0):
-            cp.start()
+        def dma(slot, c):
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(wrow + c, 1)], vref.at[pl.ds(slot, 1)],
+                    sems.at[slot, k],
+                )
+                for hbm, vref, k in hbm_bufs
+            ]
 
-    def body(c, acc):
-        fx, fy = acc
-        slot = c % 2
-
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(n_chunks > 0)  # empty spans start no DMA
         def _():
-            for cp in dma((c + 1) % 2, c + 1):
+            for cp in dma(0, 0):
                 cp.start()
 
-        for cp in dma(slot, c):
-            cp.wait()
-        # process the chunk one sublane row at a time: (tile, 128) ops
-        for r in range(_SUB):
-            wx = wx_ref[slot, r, :].reshape(1, _LANE)
-            wy = wy_ref[slot, r, :].reshape(1, _LANE)
-            dx = own_x - wx  # (tile, 128)
-            dy = own_y - wy
-            dist2 = dx * dx + dy * dy
-            hit = (
-                (dist2 < collision_distance * collision_distance)
-                & (dist2 > 0.0)
-            )
-            if exclude_bonds:
-                wid = wid_ref[slot, r, :].reshape(1, _LANE)
-                j = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                    + c * CHUNK + r * _LANE
-                )
-                hit = hit & (j < wlen) & (wid != own_id)
-                for s in range(8):
-                    nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
-                    hit = hit & (wid != nbr_s)
-            inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
-            mag = jnp.where(hit, repulsion * inv, 0.0)
-            fx = fx + jnp.sum(mag * dx, axis=1)
-            fy = fy + jnp.sum(mag * dy, axis=1)
-        return fx, fy
+        def body(c, acc):
+            fx, fy = acc
+            slot = c % 2
 
-    fx, fy = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (jnp.zeros((tile,), jnp.float32), jnp.zeros((tile,), jnp.float32)),
-        unroll=False,
-    )
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for cp in dma((c + 1) % 2, c + 1):
+                    cp.start()
+
+            for cp in dma(slot, c):
+                cp.wait()
+            # process the chunk one sublane row at a time: (tile, 128) ops
+            for r in range(_SUB):
+                wx = wx_ref[slot, r, :].reshape(1, _LANE)
+                wy = wy_ref[slot, r, :].reshape(1, _LANE)
+                dx = own_x - wx  # (tile, 128)
+                dy = own_y - wy
+                dist2 = dx * dx + dy * dy
+                hit = (
+                    (dist2 < collision_distance * collision_distance)
+                    & (dist2 > 0.0)
+                )
+                if mask_window:
+                    g = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                        + c * CHUNK + r * _LANE
+                    )
+                    hit = hit & (g >= lo) & (g < hi)
+                if exclude_bonds:
+                    wid = wid_ref[slot, r, :].reshape(1, _LANE)
+                    hit = hit & (wid != own_id)
+                    for s in range(8):
+                        nbr_s = own_nbr_ref[t, s, :].reshape(tile, 1)
+                        hit = hit & (wid != nbr_s)
+                inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-20))
+                mag = jnp.where(hit, repulsion * inv, 0.0)
+                fx = fx + jnp.sum(mag * dx, axis=1)
+                fy = fy + jnp.sum(mag * dy, axis=1)
+            return fx, fy
+
+        fx, fy = jax.lax.fori_loop(0, n_chunks, body, (fx, fy), unroll=False)
     fx_ref[t] = fx.reshape(1, tile)
     fy_ref[t] = fy.reshape(1, tile)
 
 
 class SortedOrder(NamedTuple):
-    """Per-step sorted-by-cell ordering + per-tile window bounds."""
+    """Per-step sorted-by-cell ordering + per-tile window bounds.
+
+    S = spans per tile: 1 = one merged window covering the whole 3-grid-row
+    range (best when rows are sparse: the merged window is barely larger
+    than one DMA chunk); 3 = one span per grid row (best at high row
+    occupancy — e.g. the 2^20 capacity scene packs ~4k particles per row,
+    where the merged window wastes ~7x the candidate tests)."""
 
     sorted_idx: jax.Array  # (N,) particle index per sorted row
     inv_idx: jax.Array  # (N,) sorted row per particle (inverse permutation)
     srt_id: jax.Array  # (N,) == sorted_idx but -1 for inactive
-    wrow: jax.Array  # (n_tiles,) window start CHUNK row
-    wlen: jax.Array  # (n_tiles,) window length in elements (from chunk start)
+    wrow: jax.Array  # (S, n_tiles) span start CHUNK row (span-major: SMEM)
+    wlo: jax.Array  # (S, n_tiles) first valid element offset from chunk start
+    whi: jax.Array  # (S, n_tiles) end of valid elements from chunk start
     window_truncated: jax.Array  # () i32
 
 
@@ -206,9 +227,15 @@ def build_sorted_order(
     grid_side: int,
     tile: int,
     wmax: int,
+    split_windows: bool = False,
 ) -> SortedOrder:
     """Sort particles by cell and compute per-tile window bounds covering
-    every member's 3x3 cell neighborhood (one grid row above/below)."""
+    every member's 3x3 cell neighborhood (one grid row above/below).
+
+    `split_windows` emits THREE disjoint spans (row above / own / below)
+    instead of one merged range — see SortedOrder's docstring for when each
+    wins.  Overlapping spans (tiles spanning most of a grid row) are clipped
+    against each other so no pair is ever double-counted."""
     n = cell.shape[0]
     key = jnp.where(active, cell, n_cells)
     skey, sidx = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
@@ -219,31 +246,54 @@ def build_sorted_order(
     n_tiles = -(-n // tile)
     first = skey[jnp.arange(n_tiles) * tile]
     last = skey[jnp.minimum((jnp.arange(n_tiles) + 1) * tile, n) - 1]
-    lo_cell = jnp.clip(first - grid_side - 1, 0, n_cells)
-    hi_cell = jnp.clip(last + grid_side + 2, 0, n_cells + 1)
-    # lower bounds (first sorted row with cell >= c) only at the 2*n_tiles+1
-    # cells actually queried, via vectorized binary search over the sorted
-    # keys — a dense (n_cells,) scatter-min start table cost 1.3 ms at 116k
+
+    if split_windows:
+        # union of the members' 3-cell row segments, one span per grid row;
+        # clip against neighbors so overlapping unions stay disjoint
+        c0 = first - grid_side - 1
+        c1 = last - grid_side + 2
+        c2 = first - 1
+        c3 = last + 2
+        c4 = first + grid_side - 1
+        c5 = last + grid_side + 2
+        s_lo = jnp.stack([c0, c2, jnp.maximum(c4, c3)], axis=1)
+        s_hi = jnp.stack([jnp.minimum(c1, c2), c3, c5], axis=1)
+    else:
+        s_lo = (first - grid_side - 1)[:, None]
+        s_hi = (last + grid_side + 2)[:, None]
+    n_spans = s_lo.shape[1]
+    s_lo = jnp.clip(s_lo, 0, n_cells)
+    s_hi = jnp.clip(jnp.maximum(s_hi, s_lo), 0, n_cells + 1)
+
+    # lower bounds (first sorted row with cell >= c) only at the cells
+    # actually queried, via vectorized binary search over the sorted keys —
+    # a dense (n_cells,) scatter-min start table cost 1.3 ms at 116k
     # vs ~0.05 ms for log2(N) rounds over a few hundred queries
     queries = jnp.concatenate(
-        [lo_cell, hi_cell, jnp.array([n_cells], jnp.int32)]
+        [s_lo.reshape(-1), s_hi.reshape(-1), jnp.array([n_cells], jnp.int32)]
     )
     lbq = jnp.searchsorted(skey, queries, side="left").astype(jnp.int32)
-    lb_lo, lb_hi = lbq[:n_tiles], lbq[n_tiles:2 * n_tiles]
+    nq = n_tiles * n_spans
+    lb_lo = lbq[:nq].reshape(n_tiles, n_spans)
+    lb_hi = lbq[nq:2 * nq].reshape(n_tiles, n_spans)
     # cap windows at the first INACTIVE sorted row: tiles of (or adjoining)
     # the sentinel tail would otherwise scan to the end of the array —
     # wasted chunks for fully-inactive tiles and a wildly over-counting
     # truncation diagnostic on lattice-padded scenes
     n_live = lbq[-1]
-    wstart = jnp.minimum((lb_lo // CHUNK) * CHUNK, n_live)
-    wlen = jnp.maximum(jnp.minimum(lb_hi, n_live) - wstart, 0)
-    truncated = jnp.sum(jnp.maximum(wlen - wmax, 0))
+    lb_lo = jnp.minimum(lb_lo, n_live)
+    lb_hi = jnp.minimum(lb_hi, n_live)
+    wstart = (lb_lo // CHUNK) * CHUNK
+    wlo = lb_lo - wstart
+    whi = jnp.maximum(lb_hi - wstart, 0)
+    truncated = jnp.sum(jnp.maximum(whi - wmax, 0))
     return SortedOrder(
         sorted_idx=sidx,
         inv_idx=inv,
         srt_id=jnp.where(skey < n_cells, sidx, -1),
-        wrow=wstart // CHUNK,
-        wlen=jnp.minimum(wlen, wmax),
+        wrow=(wstart // CHUNK).T,
+        wlo=wlo.T,
+        whi=jnp.minimum(whi, wmax).T,
         window_truncated=truncated,
     )
 
@@ -331,7 +381,7 @@ def collision_forces_pallas(
             srt_y_p.reshape(-1, _SUB, _LANE),
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=[vm, vm],
@@ -345,7 +395,7 @@ def collision_forces_pallas(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(order.wrow, order.wlen, *args)
+    )(order.wrow, order.wlo, order.whi, *args)
     # back to particle order the same way: sort keyed on the forward
     # permutation (row j of the kernel output belongs to particle sidx[j])
     _, fx, fy = jax.lax.sort(

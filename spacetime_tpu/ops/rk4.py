@@ -207,6 +207,7 @@ def physics_step(
     wmax: int = 4096,
     tile: int = 256,
     materials=None,  # ops.materials.ParticleMaterials (optional pytree)
+    split_windows: bool = False,  # per-grid-row kernel spans (dense rows)
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -234,7 +235,7 @@ def physics_step(
         grid_overflow = jnp.int32(0)
         order = fp.build_sorted_order(
             cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
-            tile=tile, wmax=wmax,
+            tile=tile, wmax=wmax, split_windows=split_windows,
         )
         # with shifted-slice offsets available, bonded-pair exclusion moves
         # OUT of the kernel (include in-kernel, subtract outside): the

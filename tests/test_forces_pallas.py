@@ -69,3 +69,40 @@ def test_pallas_window_truncation_diag(rng):
         table.cell, active, (GRID_DIM + 2) ** 2, GRID_DIM + 2, tile=64, wmax=1024
     )
     assert int(order.window_truncated) == 0
+
+
+def test_split_windows_match_merged(rng):
+    """Per-grid-row spans (split_windows) must produce EXACTLY the forces of
+    the merged window — including tiles whose spans overlap (clipped) and
+    chunk-aligned heads/tails that reach into neighboring rows (masked)."""
+    # wide multi-row scene so tiles cross grid-row boundaries
+    sb = scene.SceneBuilder()
+    sb.add(scene.mask_to_softbody(scene.box_mask(40, 12), 0, (0.0, 0.0),
+                                  (0.0, 0.0)))
+    sb.add(scene.mask_to_softbody(scene.box_mask(40, 12), 1, (0.0, 0.040),
+                                  (0.0, 0.0)))  # rows 1.5e-3 apart: colliding
+    particles, _ = sb.build(capacity=1024)
+    jitter = rng.uniform(-2e-4, 2e-4, particles.pos.shape).astype(np.float32)
+    pos = particles.pos + jnp.asarray(jitter) * particles.active[:, None]
+
+    table = grid_ops.build_cell_table(
+        pos, particles.active, DEFAULT_PARAMS.grid_resolution, GRID_DIM, 16
+    )
+    outs = {}
+    for split in (False, True):
+        order = fp.build_sorted_order(
+            table.cell, particles.active, (GRID_DIM + 2) ** 2, GRID_DIM + 2,
+            tile=64, wmax=2048, split_windows=split,
+        )
+        assert int(order.window_truncated) == 0, split
+        outs[split] = np.asarray(fp.collision_forces_pallas(
+            pos, particles.neighbors, order, tile=64, wmax=2048,
+            collision_distance=DEFAULT_PARAMS.collision_distance,
+            repulsion=DEFAULT_PARAMS.collision_repulsion_coefficient,
+            exclude_bonds=False,
+            interpret=True,
+        ))
+    act = np.asarray(particles.active)
+    np.testing.assert_allclose(outs[True][act], outs[False][act],
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(outs[False][act]).max() > 1.0  # scene actually collides

@@ -49,6 +49,8 @@ def main():
         capacity=particles.capacity,
         grid_dim=768,
         wmax=8192,
+        split_windows=True,  # ~4k particles/row: per-row spans cut the
+        # merged window's ~8 mostly-far DMA chunks to ~3 near ones
         spring_offsets=forces_ops.derive_spring_offsets(
             np.asarray(particles.neighbors)
         ),
