@@ -280,9 +280,24 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
     # angular footprint (first order; the oracle budget absorbs bending of
     # the footprint itself)
     w_ang = (rho + half_sweep) / jnp.maximum(chart_d, 1e-6)
-    binw = 2.0 * _PI / n_rays
-    kmax = 8  # static scatter width cap (bins)
+
+    # dense chunked (rays x pairs) masked-min — scalar scatter-mins
+    # serialize on TPU (~30 ms at pair budget; PERF.md design rule 1), the
+    # dense sweep is pure VPU
+    betas = (jnp.arange(n_rays, dtype=jnp.float32) + 0.5) * (
+        2.0 * _PI / n_rays
+    ) - _PI
     retina = jnp.full((n_rays,), _BIG, jnp.float32)
+    chunk = 8192
+    n_pairs = ex.shape[0]
+    n_chunks = -(-n_pairs // chunk)
+    pad = n_chunks * chunk - n_pairs
+
+    def padc(a, fill):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+            n_chunks, chunk
+        )
+
     for route in (0, 1):
         beta, delay = arrival_bearing_xy(ex, ey, cxm, cym, hole, route)
         # cone gate: the event really was emitted one route-delay ago
@@ -293,15 +308,19 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
             & (delay < _BIG)
             & (jnp.abs((t_now - delay) - t_mid) <= slack)
         )
-        d_val = jnp.where(ok, delay, _BIG)
-        bi = jnp.floor((beta + _PI) / binw).astype(jnp.int32)
-        kw = jnp.minimum(
-            jnp.ceil(w_ang / binw).astype(jnp.int32), kmax
-        )
-        for k in range(-kmax, kmax + 1):
-            use = jnp.abs(k) <= kw
-            idx = jnp.mod(bi + k, n_rays)
-            retina = retina.at[idx].min(jnp.where(use, d_val, _BIG))
+        cb_ = padc(beta, 0.0)
+        cd_ = padc(jnp.where(ok, delay, _BIG), _BIG)
+        cw_ = padc(w_ang, -1.0)
+
+        def body(ret, args):
+            b, d, w = args
+            d_ang = jnp.abs(
+                jnp.mod(betas[:, None] - b[None, :] + _PI, 2.0 * _PI) - _PI
+            )
+            val = jnp.where(d_ang <= w[None, :], d[None, :], _BIG)
+            return jnp.minimum(ret, jnp.min(val, axis=1)), None
+
+        retina, _ = jax.lax.scan(body, retina, (cb_, cd_, cw_))
     return retina
 
 
