@@ -30,9 +30,10 @@ closed form (no numerical ray marching):
     rays) are neglected — each adds a strictly longer delay.
 
 Modeling limitations (documented):
-  * The render is x-ray (no occlusion along curved rays) and shades with the
-    chart arrival direction — the same stage conical rendering reached in
-    round 1; the geometry/time-delay layer below is exact.
+  * Opaque occlusion runs along the CURVED routes via a 1D retina over the
+    closed-form arrival bearings (validated against a geodesic-walking
+    oracle); the source Doppler term uses the camera-side ray direction
+    (the emitter-side tangent of a bent route differs — roadmap).
   * Rendering uses coordinate time t (the static observer at the camera has
     d tau = sqrt(f) dt; a global shift does not change images).
   * Softbody physics runs in the flat chart: keep bodies at r >> r_h where
@@ -262,7 +263,7 @@ def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
 
 
 def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
-                n_rays: int):
+                n_rays: int, ray_chunk: int = 8192):
     """1D occlusion retina over ARRIVAL BEARING at the camera: every pair
     whose event is cone-consistent with a route (emitted at t_now - that
     route's delay) scatter-mins its delay into the bearing bins covering its
@@ -288,7 +289,7 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
         2.0 * _PI / n_rays
     ) - _PI
     retina = jnp.full((n_rays,), _BIG, jnp.float32)
-    chunk = 8192
+    chunk = max(ray_chunk, 128)
     n_pairs = ex.shape[0]
     n_chunks = -(-n_pairs // chunk)
     pad = n_chunks * chunk - n_pairs
@@ -354,9 +355,11 @@ def render_btz_xray(
     def d2_of(qx, qy):
         return route_delay_xy(qx, qy, cxm, cym, hole, 1)
 
+    # NO view-hull culling: curved routes pass through off-screen regions,
+    # and off-screen matter must still occlude them / show back-route images
     plist = [
         _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
-                    params, route_lengths=fn)[0]
+                    params, route_lengths=fn, cull_hull=False)[0]
         for fn in (d1_of, d2_of)
     ]
     pairs = PairData(
@@ -366,6 +369,10 @@ def render_btz_xray(
     )
     from .raytrace import _compact_pairs_to_budget
 
+    # NOTE: valid pairs beyond params.pair_budget are silently dropped here
+    # (both occupancy and occlusion) — at showcase scales the doubled route
+    # list fits the default budget, but 10^5+-particle scenes should raise
+    # pair_budget; a RenderDiag for the curved paths is roadmap work
     pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
     tables, _bdrop, _small, geom = _build_view_tables(
         pairs, cam, width, height, params
@@ -374,7 +381,8 @@ def render_btz_xray(
 
     n_rays = params.num_rays
     if use_rays:
-        retina = _btz_retina(pairs, cam, t_now, hole, dt, rho, n_rays)
+        retina = _btz_retina(pairs, cam, t_now, hole, dt, rho, n_rays,
+                             ray_chunk=params.ray_chunk)
         retina_rows = jnp.broadcast_to(retina[:, None], (n_rays, 8))
 
     pxs, pys = _cell_pixel_coords(width, height, cam, params)

@@ -210,9 +210,12 @@ def render_retarded_conical(
         return lambda qx, qy: geodesic_lengths_xy(qx, qy, cxm, cym, d)[1]
 
     route_fns = [l1_of] + [l2_of(d) for d in defects]
+    # NO view-hull culling: the route-2 retinas test ROTATED candidates
+    # against 360-degree straight rays, so off-screen matter can occlude
+    # (the flat renderer handles the same concern via _band_pairs_nocull)
     plist = [
         _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
-                    params, route_lengths=fn)[0]
+                    params, route_lengths=fn, cull_hull=False)[0]
         for fn in route_fns
     ]
     pairs = PairData(

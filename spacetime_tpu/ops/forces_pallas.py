@@ -285,7 +285,9 @@ def build_sorted_order(
     lb_hi = jnp.minimum(lb_hi, n_live)
     wstart = (lb_lo // CHUNK) * CHUNK
     wlo = lb_lo - wstart
-    whi = jnp.maximum(lb_hi - wstart, 0)
+    # clipped-empty spans (lb_hi <= lb_lo) get whi = 0 so the kernel issues
+    # ZERO chunks for them instead of DMA-ing and masking a full chunk
+    whi = jnp.where(lb_hi > lb_lo, lb_hi - wstart, 0)
     truncated = jnp.sum(jnp.maximum(whi - wmax, 0))
     return SortedOrder(
         sorted_idx=sidx,

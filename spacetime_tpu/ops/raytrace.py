@@ -405,6 +405,7 @@ def _band_pairs(
     height: int,
     params: RenderParams,
     route_lengths=None,
+    cull_hull: bool = True,
 ) -> "PairData":
     """Cone-crossing segments via monotonic band search — no (T, N) mask, no
     compaction scatter.
@@ -450,19 +451,26 @@ def _band_pairs(
         & (jnp.minimum(ra, rb) <= s_hi + rho)
         & (jnp.abs(qax) < 1.0e8)
     )
-    _, _, pixel_size, x0, y0 = _view_grid(width, height, cam, params.cell_px)
-    margin = 4.0 * (rho + dt)
-    vx0 = jnp.minimum(x0, cxm) - margin
-    vx1 = jnp.maximum(x0 + width * pixel_size, cxm) + margin
-    vy0 = jnp.minimum(y0, cym) - margin
-    vy1 = jnp.maximum(y0 + height * pixel_size, cym) + margin
-    valid = (
-        valid
-        & (jnp.maximum(qax, qbx) >= vx0)
-        & (jnp.minimum(qax, qbx) <= vx1)
-        & (jnp.maximum(qay, qby) >= vy0)
-        & (jnp.minimum(qay, qby) <= vy1)
-    )
+    if cull_hull:
+        # safe for straight rays only: a camera->pixel segment stays inside
+        # the view+camera hull.  CURVED routes (conical route 2, BTZ) pass
+        # through off-hull regions, so their callers disable this cull —
+        # off-screen matter can occlude an on-screen geodesic.
+        _, _, pixel_size, x0, y0 = _view_grid(
+            width, height, cam, params.cell_px
+        )
+        margin = 4.0 * (rho + dt)
+        vx0 = jnp.minimum(x0, cxm) - margin
+        vx1 = jnp.maximum(x0 + width * pixel_size, cxm) + margin
+        vy0 = jnp.minimum(y0, cym) - margin
+        vy1 = jnp.maximum(y0 + height * pixel_size, cym) + margin
+        valid = (
+            valid
+            & (jnp.maximum(qax, qbx) >= vx0)
+            & (jnp.minimum(qax, qbx) <= vx1)
+            & (jnp.maximum(qay, qby) >= vy0)
+            & (jnp.minimum(qay, qby) <= vy1)
+        )
 
     far = 2.0e9
     keep = lambda v: jnp.where(valid, v, far).reshape(-1)

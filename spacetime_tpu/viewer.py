@@ -96,30 +96,32 @@ def run_viewer(
         plt.show()
 
     frame = 0
-    while not keys.get("quit"):
-        if script is not None:
-            for key, down in script(frame):
-                apply_key(keys, engine, key, down)
-        img = engine.run_frame(keys=dict(keys))
-        keys.pop("p", None)
-        arr = np.asarray(img)
+    try:  # the stream server/figure must be torn down even if a frame raises
+        while not keys.get("quit"):
+            if script is not None:
+                for key, down in script(frame):
+                    apply_key(keys, engine, key, down)
+            img = engine.run_frame(keys=dict(keys))
+            keys.pop("p", None)
+            arr = np.asarray(img)
+            if stream is not None:
+                stream.submit(arr)
+            im.set_data(arr)
+            summary = engine.stats.summary()
+            title.set_text(
+                f"frame {engine.frame}  {summary.get('fps_avg', 0):.1f} fps avg  "
+                f"1% low {summary.get('low_1pct_ms', 0):.1f} ms  "
+                f"max_fps {engine.hotswap['max_fps']:.0f}"
+                + ("  [paused]" if engine.paused else "")
+            )
+            fig.canvas.draw_idle()
+            if show:
+                plt.pause(max(0.001, 1.0 / engine.hotswap["max_fps"]))
+            frame += 1
+            if max_frames is not None and frame >= max_frames:
+                break
+    finally:
+        plt.close(fig)
         if stream is not None:
-            stream.submit(arr)
-        im.set_data(arr)
-        summary = engine.stats.summary()
-        title.set_text(
-            f"frame {engine.frame}  {summary.get('fps_avg', 0):.1f} fps avg  "
-            f"1% low {summary.get('low_1pct_ms', 0):.1f} ms  "
-            f"max_fps {engine.hotswap['max_fps']:.0f}"
-            + ("  [paused]" if engine.paused else "")
-        )
-        fig.canvas.draw_idle()
-        if show:
-            plt.pause(max(0.001, 1.0 / engine.hotswap["max_fps"]))
-        frame += 1
-        if max_frames is not None and frame >= max_frames:
-            break
-    plt.close(fig)
-    if stream is not None:
-        stream.close()
+            stream.close()
     return frame
