@@ -366,7 +366,7 @@ class Engine:
             )
         if self._cap_boost:
             out = dataclasses.replace(
-                out, bin_capacity=min(out.bin_capacity + self._cap_boost, 256)
+                out, bin_capacity=min(out.bin_capacity + self._cap_boost, 384)
             )
         # view-derived sweep bound: light reaching the (camera-centered)
         # view rect comes from within corner-distance/h ticks; quantize to
@@ -562,12 +562,12 @@ class Engine:
                 )
             cap_now = self.config.render.bin_capacity + self._cap_boost
             if int(diag.bin_dropped) > 0:
-                if cap_now < 256:
+                if cap_now < 384:
                     # geometric growth: a 16-step against thousands of drops
                     # would re-fire (and recompile) every diag window —
                     # doubling converges in <= 2 recompiles
                     self._cap_boost = (
-                        min(cap_now * 2, 256) - self.config.render.bin_capacity
+                        min(cap_now * 2, 384) - self.config.render.bin_capacity
                     )
                     self.log.warning(
                         "%d candidates dropped from full view bins: raising "

@@ -104,6 +104,9 @@ def config_two_body_collision() -> EngineConfig:
         height=512,
         history=512,
         cam_pos=(0.65, 0.6),
+        # pre-sized bins (mid-size views run dense; avoids the
+        # diagnostics adaptation's startup recompile)
+        render=RenderParams(bin_capacity=128),
     )
 
 
@@ -143,6 +146,9 @@ def config_accelerated_camera() -> EngineConfig:
         cam_pos=(0.2, 0.5),
         cam_vel=(0.0, 0.0),
         cam_accel=(0.5, 0.0),  # proper acceleration, c/s
+        # pre-sized bins (mid-size views run dense; avoids the
+        # diagnostics adaptation's startup recompile)
+        render=RenderParams(bin_capacity=128),
     )
 
 
@@ -189,6 +195,9 @@ def config_png_demo() -> EngineConfig:
         history=384,
         cam_pos=(0.55, 0.55),
         cam_zoom=0.9,
+        # pre-sized bins (mid-size views run dense; avoids the
+        # diagnostics adaptation's startup recompile)
+        render=RenderParams(bin_capacity=128),
     )
 
 
@@ -215,6 +224,9 @@ def config_rindler_horizon() -> EngineConfig:
         cam_pos=(0.45, 0.5),
         cam_zoom=2.4,  # frame both blobs: view spans x in [-0.75, 1.65]
         cam_accel=(2.0, 0.0),
+        # pre-sized bins (mid-size views run dense; avoids the
+        # diagnostics adaptation's startup recompile)
+        render=RenderParams(bin_capacity=128),
     )
 
 
