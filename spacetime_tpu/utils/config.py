@@ -224,9 +224,9 @@ def config_rindler_horizon() -> EngineConfig:
         cam_pos=(0.45, 0.5),
         cam_zoom=2.4,  # frame both blobs: view spans x in [-0.75, 1.65]
         cam_accel=(2.0, 0.0),
-        # pre-sized bins (mid-size views run dense; avoids the
-        # diagnostics adaptation's startup recompile)
-        render=RenderParams(bin_capacity=128),
+        # zoom 2.4 packs ~0.01 ls into each view cell: the densest bins of
+        # any named config (drop-free at 384, measured)
+        render=RenderParams(bin_capacity=384),
     )
 
 
