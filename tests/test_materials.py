@@ -162,3 +162,42 @@ def test_break_scale_pairwise_min_breaks_weak_object_first():
                                   break_scale=weak)
     assert int(n) == 2  # symmetric: BOTH directed slots removed
     assert int(kept[0, 0]) == -1 and int(kept[1, 0]) == -1
+
+
+def test_engine_materials_config_end_to_end():
+    """config.materials reaches the fused frame: a soft+damped material
+    changes the trajectory vs the default engine."""
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils.config import EngineConfig, SceneSpec
+    from spacetime_tpu.ops.raytrace import RenderParams
+
+    def build(materials):
+        cfg = EngineConfig(
+            scene=SceneSpec(
+                bodies=(
+                    # close + fast: springs must actually load (materials
+                    # are invisible while the lattice sits at rest length)
+                    ("disc", 30, (0.0, 0.0), (0.2, 0.0), (0.2, 0.2, 1.0)),
+                    ("disc", 30, (0.05, 0.002), (-0.2, 0.0), (1.0, 0.2, 0.2)),
+                ),
+                capacity=256,
+            ),
+            render=RenderParams(num_rays=256),
+            width=32, height=32, history=16,
+            materials=materials,
+        )
+        return Engine(cfg)
+
+    # material 0 = default; both objects use index 0 by default, so a
+    # non-default row 0 must change the dynamics
+    soft = ((0.4, 2.0, 1.0),)
+    eng_a = build(None)
+    eng_b = build(soft)
+    assert eng_a.materials is None
+    assert eng_b.materials is not None
+    for _ in range(40):
+        eng_a.run_frame()
+        eng_b.run_frame()
+    pa = np.asarray(eng_a.particles.pos)[np.asarray(eng_a.particles.active)]
+    pb = np.asarray(eng_b.particles.pos)[np.asarray(eng_b.particles.active)]
+    assert np.abs(pa - pb).max() > 1e-5  # materials changed the trajectory
