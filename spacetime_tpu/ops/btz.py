@@ -32,8 +32,9 @@ closed form (no numerical ray marching):
 Modeling limitations (documented):
   * Opaque occlusion runs along the CURVED routes via a 1D retina over the
     closed-form arrival bearings (validated against a geodesic-walking
-    oracle); the source Doppler term uses the camera-side ray direction
-    (the emitter-side tangent of a bent route differs — roadmap).
+    oracle); Doppler shading uses the exact ray direction at EACH end of
+    the bent route (emitter-side tangent for the source term, camera-side
+    for the observer term).
   * Rendering uses coordinate time t (the static observer at the camera has
     d tau = sqrt(f) dt; a global shift does not change images).
   * Softbody physics runs in the flat chart: keep bodies at r >> r_h where
@@ -159,26 +160,22 @@ def _polar_separation(qx, qy, cx, cy, hole: BTZBlackHole):
     return rq, rc, jnp.arccos(cos_d)  # d_phi in [0, pi]
 
 
-def arrival_bearing_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
-    """Chart bearing (radians, atan2 convention) at the CAMERA of the route
-    geodesic toward chart point q, plus its delay — closed form.
-
-    Solves the orbit BVP with the camera at phi = 0: u(phi) =
-    A e^{mu phi} + B e^{-mu phi}, so the departure direction of the
-    backward ray (= arrival direction of the light) is
-    (dr/dphi) r_hat + r phi_hat per unit phi, with dr/dphi = -u'(0)/u_c^2
-    and the angular sense s = toward the emitter (route 0 the minor way,
-    route 1 around the back)."""
+def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """Shared orbit-BVP preamble (camera at phi = 0, emitter q at phi =
+    dphi): polar decomposition around the hole, route angular separation
+    dphi with travel sense s (+/-1), and the orbit coefficients
+    u(phi) = A e^{mu phi} + B e^{-mu phi}.  Every consumer (bearing,
+    emitter direction, orbit sampling, the brute oracle) derives from this
+    one function so sign/clip conventions can never drift."""
     hx, hy = hole.center[0], hole.center[1]
-    M, l = hole.mass, hole.ads_l
-    mu = jnp.sqrt(M)
+    mu = jnp.sqrt(hole.mass)
     rqx, rqy = qx - hx, qy - hy
     rcx, rcy = cx - hx, cy - hy
     rq = jnp.sqrt(rqx * rqx + rqy * rqy)
     rc = jnp.sqrt(rcx * rcx + rcy * rcy)
     phi_c = jnp.arctan2(rcy, rcx)
     phi_q = jnp.arctan2(rqy, rqx)
-    delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # (-pi, pi]
+    delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # [-pi, pi)
     sgn = jnp.where(delta >= 0, 1.0, -1.0)
     if route == 0:
         dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
@@ -191,19 +188,59 @@ def arrival_bearing_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     e = jnp.exp(mu * dphi)
     A = (u_q - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
     B = u_c - A
-    du0 = mu * (A - B)  # du/dphi at the camera
-    dr_dphi = -du0 / (u_c * u_c)
-    # tangent per unit sweep phi: radial dr/dphi (sense-free — the sweep
-    # parameter already runs along the travel), tangential r in the sense s
-    dx_r = dr_dphi
-    dx_t = rc
-    rhx, rhy = rcx / jnp.maximum(rc, _EPS), rcy / jnp.maximum(rc, _EPS)
+    return dict(mu=mu, rq=rq, rc=rc, phi_c=phi_c, dphi=dphi, s=s,
+                u_c=u_c, u_q=u_q, A=A, B=B)
+
+
+def _tangent_at(ob, hole: BTZBlackHole, phi):
+    """Chart tangent of the orbit at sweep angle phi (per unit phi, in the
+    travel sense s): (dr/dphi) r_hat + r phi_hat."""
+    mu, s = ob["mu"], ob["s"]
+    u = ob["A"] * jnp.exp(mu * phi) + ob["B"] * jnp.exp(-mu * phi)
+    du = mu * (ob["A"] * jnp.exp(mu * phi) - ob["B"] * jnp.exp(-mu * phi))
+    r = 1.0 / jnp.maximum(u, _EPS)
+    dr_dphi = -du / jnp.maximum(u * u, _EPS)
+    ang = ob["phi_c"] + s * phi
+    rhx, rhy = jnp.cos(ang), jnp.sin(ang)
     thx, thy = -rhy * s, rhx * s
-    vx = dx_r * rhx + dx_t * thx
-    vy = dx_r * rhy + dx_t * thy
+    return dr_dphi * rhx + r * thx, dr_dphi * rhy + r * thy
+
+
+def arrival_bearing_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """Chart bearing (radians, atan2 convention) at the CAMERA of the route
+    geodesic toward chart point q, plus its delay — closed form.  The
+    departure direction of the backward ray (= arrival direction of the
+    light) is the orbit tangent at phi = 0."""
+    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
+    vx, vy = _tangent_at(ob, hole, jnp.zeros_like(ob["dphi"]))
     bearing = jnp.arctan2(vy, vx)
-    delay = btz_null_delay(rq, rc, dphi, M, l)
+    delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
+                           hole.ads_l)
     return bearing, delay
+
+
+def emitter_direction_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """Unit propagation direction of the photon AT THE EMITTER q (pointing
+    along its travel toward the camera): minus the camera->emitter orbit
+    tangent at phi = dphi, normalized.  Used for the source Doppler term —
+    on a bent route it differs from the camera-side direction."""
+    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
+    tx, ty = _tangent_at(ob, hole, ob["dphi"])
+    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
+    return -tx * inv, -ty * inv
+
+
+def route_optics_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
+    """(camera bearing, delay, emitter-side propagation direction) for one
+    route — one _orbit_setup shared by all three."""
+    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
+    vx, vy = _tangent_at(ob, hole, jnp.zeros_like(ob["dphi"]))
+    bearing = jnp.arctan2(vy, vx)
+    delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
+                           hole.ads_l)
+    tx, ty = _tangent_at(ob, hole, ob["dphi"])
+    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
+    return bearing, delay, -tx * inv, -ty * inv
 
 
 def sample_orbit(qx, qy, cx, cy, hole: BTZBlackHole, route: int, n: int):
@@ -211,36 +248,18 @@ def sample_orbit(qx, qy, cx, cy, hole: BTZBlackHole, route: int, n: int):
     to q — closed form per sample (oracle/visualization use).  Returns
     (xs, ys, delays) with delays measured from the camera end."""
     hx, hy = hole.center[0], hole.center[1]
-    M, l = hole.mass, hole.ads_l
-    mu = jnp.sqrt(M)
-    rqx, rqy = qx - hx, qy - hy
-    rcx, rcy = cx - hx, cy - hy
-    rq = jnp.sqrt(rqx * rqx + rqy * rqy)
-    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
-    phi_c = jnp.arctan2(rcy, rcx)
-    phi_q = jnp.arctan2(rqy, rqx)
-    delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi
-    sgn = jnp.where(delta >= 0, 1.0, -1.0)
-    if route == 0:
-        dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
-        s = sgn
-    else:
-        dphi = 2.0 * jnp.pi - jnp.abs(delta)
-        s = -sgn
-    u_c = 1.0 / jnp.maximum(rc, _EPS)
-    u_q = 1.0 / jnp.maximum(rq, _EPS)
-    e = jnp.exp(mu * dphi)
-    A = (u_q - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
-    B = u_c - A
+    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
+    mu = ob["mu"]
     frac = jnp.linspace(0.0, 1.0, n)
-    phis = dphi * frac
-    u = A * jnp.exp(mu * phis) + B * jnp.exp(-mu * phis)
+    phis = ob["dphi"] * frac
+    u = ob["A"] * jnp.exp(mu * phis) + ob["B"] * jnp.exp(-mu * phis)
     r = 1.0 / jnp.maximum(u, _EPS)
-    ang = phi_c + s * phis
+    ang = ob["phi_c"] + ob["s"] * phis
     xs = hx + r * jnp.cos(ang)
     ys = hy + r * jnp.sin(ang)
     # delay from camera to each sample: same closed form, partial upper limit
-    delays = btz_null_delay(r, rc, jnp.maximum(phis, 1e-5), M, l)
+    delays = btz_null_delay(r, ob["rc"], jnp.maximum(phis, 1e-5), hole.mass,
+                            hole.ads_l)
     return xs, ys, delays
 
 
@@ -396,7 +415,7 @@ def render_btz_xray(
         )
         routes = []
         for r in (0, 1):
-            beta, td = arrival_bearing_xy(px, py, cxm, cym, hole, r)
+            beta, td, nex, ney = route_optics_xy(px, py, cxm, cym, hole, r)
             occ, win = _occupancy_cells(px, py, t_now - td, vdat, vok, dt, rho)
             occ = occ & (td < _BIG)
             if use_rays:
@@ -409,7 +428,8 @@ def render_btz_xray(
                 blk = first < (td - margin)
             else:
                 blk = jnp.zeros_like(occ)
-            routes.append(dict(td=td, occ=occ, win=win, blk=blk, beta=beta))
+            routes.append(dict(td=td, occ=occ, win=win, blk=blk, beta=beta,
+                               nex=nex, ney=ney))
 
         td1, td2 = routes[0]["td"], routes[1]["td"]
         sel1 = routes[0]["occ"] & ~routes[0]["blk"]
@@ -421,16 +441,17 @@ def render_btz_xray(
         use1 = jnp.where(visible, use1_vis, use1_occ)
         winner = jnp.where(use1[:, :, None], routes[0]["win"], routes[1]["win"])
         beta_w = jnp.where(use1, routes[0]["beta"], routes[1]["beta"])
+        nex = jnp.where(use1, routes[0]["nex"], routes[1]["nex"])
+        ney = jnp.where(use1, routes[0]["ney"], routes[1]["ney"])
 
         vx = _field_at(vdat, winner, _F_VX)
         vy = _field_at(vdat, winner, _F_VY)
-        # exact closed-form arrival direction (light arrives FROM bearing
-        # beta, so the propagation direction at the camera is -beta-ward).
-        # Approximation: the source Doppler term also uses the camera-side
-        # direction (the emitter-side tangent differs along a bent route).
+        # exact closed-form ray directions at BOTH ends of the bent route:
+        # the source Doppler term uses the emitter-side tangent, the camera
+        # term the camera-side (-beta-ward) one
         nx = -jnp.cos(beta_w)
         ny = -jnp.sin(beta_w)
-        d = doppler_factor_xy(vx, vy, nx, ny) * camera_doppler_factor_xy(
+        d = doppler_factor_xy(vx, vy, nex, ney) * camera_doppler_factor_xy(
             cam.vel[0], cam.vel[1], nx, ny
         )
         # gravitational redshift between static frames: nu_obs/nu_emit =
@@ -608,16 +629,20 @@ def render_btz_brute(
     use1 = jnp.where(visible, use1_vis, use1_occ)
     best = jnp.where(use1, best1, best2)
 
-    beta1, _ = arrival_bearing_xy(px, py, cxm, cym, hole, 0)
-    beta2, _ = arrival_bearing_xy(px, py, cxm, cym, hole, 1)
+    beta1, _, nex1, ney1 = route_optics_xy(px, py, cxm, cym, hole, 0)
+    beta2, _, nex2, ney2 = route_optics_xy(px, py, cxm, cym, hole, 1)
     beta = jnp.where(use1, beta1, beta2)
+    nex = jnp.where(use1, nex1, nex2)
+    ney = jnp.where(use1, ney1, ney2)
     nx, ny = -jnp.cos(beta), -jnp.sin(beta)
     obj = fobj[best]
     cr = objects.base_color[:, 0][obj]
     cg = objects.base_color[:, 1][obj]
     cbv = objects.base_color[:, 2][obj]
     wvx, wvy = fvx[best], fvy[best]
-    d = doppler_factor_xy(wvx, wvy, nx, ny) * camera_doppler_factor_xy(
+    # emitter-side direction for the source term, camera-side for the
+    # observer term (same convention as the fast path)
+    d = doppler_factor_xy(wvx, wvy, nex, ney) * camera_doppler_factor_xy(
         cam.vel[0], cam.vel[1], nx, ny
     )
     f_of = lambda r: jnp.maximum(r * r / (l * l) - M, 0.0)

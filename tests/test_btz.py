@@ -211,3 +211,24 @@ def test_btz_opaque_matches_geodesic_oracle():
         buf, p.object_index, objects, cam, hole, 96, 96,
         dataclasses.replace(params, opaque=False)))
     assert np.any(np.abs(fast - xray) > 0.05)
+
+
+def test_emitter_direction_matches_orbit_far_tangent():
+    """emitter_direction_xy == minus the finite-difference tangent at the
+    far (emitter) end of the sampled orbit, both routes."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.03, ads_l=0.45)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.33, 0.1), (-0.2, -0.3)]:
+        for route in (0, 1):
+            nex, ney = btz.emitter_direction_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route)
+            xs, ys, _ = btz.sample_orbit(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route, 4096)
+            # tangent of camera->emitter path at the emitter, flipped
+            tx = -(float(xs[-1]) - float(xs[-2]))
+            ty = -(float(ys[-1]) - float(ys[-2]))
+            norm = np.hypot(tx, ty)
+            dot = (float(nex) * tx + float(ney) * ty) / norm
+            assert dot > 0.999, (q, route, dot)
