@@ -565,7 +565,8 @@ class Engine:
                 if cap_now < 384:
                     # geometric growth: a 16-step against thousands of drops
                     # would re-fire (and recompile) every diag window —
-                    # doubling converges in <= 2 recompiles
+                    # doubling converges in <= 3 recompiles from the default
+                    # 64 (named configs pre-size to their measured level)
                     self._cap_boost = (
                         min(cap_now * 2, 384) - self.config.render.bin_capacity
                     )

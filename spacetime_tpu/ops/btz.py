@@ -192,7 +192,7 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
                 u_c=u_c, u_q=u_q, A=A, B=B)
 
 
-def _tangent_at(ob, hole: BTZBlackHole, phi):
+def _tangent_at(ob, phi):
     """Chart tangent of the orbit at sweep angle phi (per unit phi, in the
     travel sense s): (dr/dphi) r_hat + r phi_hat."""
     mu, s = ob["mu"], ob["s"]
@@ -208,37 +208,31 @@ def _tangent_at(ob, hole: BTZBlackHole, phi):
 
 def arrival_bearing_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """Chart bearing (radians, atan2 convention) at the CAMERA of the route
-    geodesic toward chart point q, plus its delay — closed form.  The
-    departure direction of the backward ray (= arrival direction of the
-    light) is the orbit tangent at phi = 0."""
-    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
-    vx, vy = _tangent_at(ob, hole, jnp.zeros_like(ob["dphi"]))
-    bearing = jnp.arctan2(vy, vx)
-    delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
-                           hole.ads_l)
+    geodesic toward chart point q, plus its delay — closed form.  Thin
+    wrapper over route_optics_xy."""
+    bearing, delay, _, _ = route_optics_xy(qx, qy, cx, cy, hole, route)
     return bearing, delay
 
 
 def emitter_direction_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """Unit propagation direction of the photon AT THE EMITTER q (pointing
     along its travel toward the camera): minus the camera->emitter orbit
-    tangent at phi = dphi, normalized.  Used for the source Doppler term —
-    on a bent route it differs from the camera-side direction."""
-    ob = _orbit_setup(qx, qy, cx, cy, hole, route)
-    tx, ty = _tangent_at(ob, hole, ob["dphi"])
-    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
-    return -tx * inv, -ty * inv
+    tangent at phi = dphi, normalized.  Thin wrapper over route_optics_xy."""
+    _, _, nex, ney = route_optics_xy(qx, qy, cx, cy, hole, route)
+    return nex, ney
 
 
 def route_optics_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """(camera bearing, delay, emitter-side propagation direction) for one
-    route — one _orbit_setup shared by all three."""
+    route — the ONE implementation; arrival_bearing_xy and
+    emitter_direction_xy are thin wrappers (XLA DCE prunes their unused
+    outputs under jit)."""
     ob = _orbit_setup(qx, qy, cx, cy, hole, route)
-    vx, vy = _tangent_at(ob, hole, jnp.zeros_like(ob["dphi"]))
+    vx, vy = _tangent_at(ob, jnp.zeros_like(ob["dphi"]))
     bearing = jnp.arctan2(vy, vx)
     delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
                            hole.ads_l)
-    tx, ty = _tangent_at(ob, hole, ob["dphi"])
+    tx, ty = _tangent_at(ob, ob["dphi"])
     inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
     return bearing, delay, -tx * inv, -ty * inv
 
@@ -558,25 +552,15 @@ def render_btz_brute(
     py = pc[..., 1].reshape(-1)
     chart_d = jnp.maximum(jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), 1e-6)
 
-    rpx, rpy = px - hx, py - hy
-    rcx, rcy = cxm - hx, cym - hy
-    rp = jnp.sqrt(rpx * rpx + rpy * rpy)
-    rc = jnp.sqrt(rcx * rcx + rcy * rcy)
-    phi_c = jnp.arctan2(rcy, rcx)
-    phi_p = jnp.arctan2(rpy, rpx)
-    delta = jnp.mod(phi_p - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi
-    sgn = jnp.where(delta >= 0, 1.0, -1.0)
-    u_c = 1.0 / jnp.maximum(rc, _EPS)
-    u_p = 1.0 / jnp.maximum(rp, _EPS)
+    rp = jnp.sqrt((px - hx) ** 2 + (py - hy) ** 2)
+    rc = jnp.sqrt((cxm - hx) ** 2 + (cym - hy) ** 2)
 
     def route_pass(route):
-        if route == 0:
-            dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
-            s = sgn
-        else:
-            dphi = 2.0 * jnp.pi - jnp.abs(delta)
-            s = -sgn
-        td = btz_null_delay(rp, rc, dphi, M, l)
+        # same _orbit_setup as the fast path: sign/clip conventions shared
+        ob = _orbit_setup(px, py, cxm, cym, hole, route)
+        dphi, s, rc_ = ob["dphi"], ob["s"], ob["rc"]
+        phi_c, A, B = ob["phi_c"], ob["A"], ob["B"]
+        td = btz_null_delay(ob["rq"], rc_, dphi, M, l)
         inside, dist2 = _occupancy_xy(
             px[:, None], py[:, None], (t_now - td)[:, None],
             fax[None], fay[None], fbx[None], fby[None], fta[None], dt, rho,
@@ -590,10 +574,6 @@ def render_btz_brute(
         if not use_rays:
             return td, occ, best, jnp.zeros_like(occ)
 
-        # orbit coefficients per pixel (camera at phi = 0)
-        e = jnp.exp(mu * dphi)
-        A = (u_p - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
-        B = u_c - A
         margin = 2.0 * rho * td / chart_d
 
         def body(blocked, frac):
@@ -603,7 +583,7 @@ def render_btz_brute(
             ang = phi_c + s * phis
             sx = hx + r * jnp.cos(ang)
             sy = hy + r * jnp.sin(ang)
-            dj = btz_null_delay(r, rc, jnp.maximum(phis, 1e-5), M, l)
+            dj = btz_null_delay(r, rc_, jnp.maximum(phis, 1e-5), M, l)
             hit, _ = _occupancy_xy(
                 sx[:, None], sy[:, None], (t_now - dj)[:, None],
                 fax[None], fay[None], fbx[None], fby[None], fta[None],
