@@ -17,7 +17,8 @@
 //     skip frames (they always get the newest encoded frame, never a queue).
 //
 // C API (ctypes-friendly):
-//   void* ss_create(int port, int width, int height, int quality);
+//   void* ss_create(const char* bind_addr, int port, int width, int height,
+//                   int quality);   // bind_addr e.g. "127.0.0.1"/"0.0.0.0"
 //   int   ss_port(void* h);           // actual bound port (for port=0)
 //   int   ss_submit(void* h, const unsigned char* rgb);  // w*h*3 bytes
 //   long  ss_clients(void* h);
@@ -38,8 +39,10 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <string>
+#include <utility>
 #include <thread>
 #include <vector>
 
@@ -148,7 +151,12 @@ struct StreamSink {
 
   std::thread encoder;
   std::thread acceptor;
-  std::vector<std::thread> clients;
+  // each entry pairs the thread with a done flag the thread sets on exit, so
+  // the acceptor can reap finished threads (join is instant once done) —
+  // without the sweep a long --serve session with reconnecting browsers
+  // grows this vector without bound
+  std::vector<std::pair<std::thread, std::shared_ptr<std::atomic<bool>>>>
+      clients;
   std::mutex clients_mu;
 
   void encode_loop() {
@@ -250,18 +258,36 @@ struct StreamSink {
       int one = 1;
       setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
       std::lock_guard<std::mutex> lk(clients_mu);
-      clients.emplace_back([this, fd] { client_loop(fd); });
+      // reap finished client threads before adding a new one
+      for (auto it = clients.begin(); it != clients.end();) {
+        if (it->second->load()) {
+          if (it->first.joinable()) it->first.join();
+          it = clients.erase(it);
+        } else {
+          ++it;
+        }
+      }
+      auto done = std::make_shared<std::atomic<bool>>(false);
+      clients.emplace_back(std::thread([this, fd, done] {
+                             client_loop(fd);
+                             done->store(true);
+                           }),
+                           done);
     }
   }
 
-  bool start(int want_port) {
+  bool start(const char* bind_addr, int want_port) {
     listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
     if (listen_fd < 0) return false;
     int one = 1;
     setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
-    addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    // loopback by default (the Python wrapper passes "127.0.0.1" unless the
+    // user opts into external binding): the stream has no auth
+    if (bind_addr == nullptr || bind_addr[0] == '\0' ||
+        inet_pton(AF_INET, bind_addr, &addr.sin_addr) != 1)
+      addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
     addr.sin_port = htons(static_cast<uint16_t>(want_port));
     if (::bind(listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0)
       return false;
@@ -285,7 +311,7 @@ struct StreamSink {
     if (acceptor.joinable()) acceptor.join();
     std::lock_guard<std::mutex> lk(clients_mu);
     for (auto& t : clients)
-      if (t.joinable()) t.join();
+      if (t.first.joinable()) t.first.join();
   }
 };
 
@@ -293,12 +319,13 @@ struct StreamSink {
 
 extern "C" {
 
-void* ss_create(int port, int width, int height, int quality) {
+void* ss_create(const char* bind_addr, int port, int width, int height,
+                int quality) {
   auto* s = new StreamSink();
   s->width = width;
   s->height = height;
   s->quality = quality > 0 && quality <= 100 ? quality : 85;
-  if (!s->start(port)) {
+  if (!s->start(bind_addr, port)) {
     delete s;
     return nullptr;
   }

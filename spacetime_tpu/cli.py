@@ -43,6 +43,9 @@ def main(argv=None) -> int:
                     help="live MJPEG view at http://host:PORT/ (0 = any port; "
                          "the headless analog of the reference's native "
                          "window, native/streamsink.cpp)")
+    ap.add_argument("--serve-bind", default="127.0.0.1", metavar="ADDR",
+                    help="bind address for --serve (default loopback; the "
+                         "stream has no auth — use 0.0.0.0 to expose it)")
     args = ap.parse_args(argv)
 
     import jax
@@ -94,8 +97,9 @@ def main(argv=None) -> int:
                 from .utils.streamsink import StreamSink
 
                 if stream is None:
-                    stream = StreamSink(args.serve, arr.shape[1], arr.shape[0])
-                    print(f"# live view: http://0.0.0.0:{stream.port}/"
+                    stream = StreamSink(args.serve, arr.shape[1],
+                                        arr.shape[0], bind=args.serve_bind)
+                    print(f"# live view: http://{args.serve_bind}:{stream.port}/"
                           f" ({'native' if stream.native else 'python'})",
                           file=sys.stderr)
                 stream.submit(arr)

@@ -237,12 +237,16 @@ class Engine:
         (SURVEY.md §7 item 7: fused double-buffered loop).  A small dict of
         compiled programs is kept so interactive zooming across cell-size
         boundaries revisits old levels without recompiling."""
-        key = (rparams, self.config.render_mode, self.config.steps_per_frame)
+        # the compiled closure bakes in materials/aloof/present, so their
+        # identities are part of the key; each cache entry pins the captured
+        # objects (below) so a recycled id can never alias a stale program
+        key = (rparams, self.config.render_mode, self.config.steps_per_frame,
+               id(self.materials), id(self.aloof_bodies), id(self.present))
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         if key in cache:
-            return cache[key]
+            return cache[key][0]
         cfg = self.config
         model, objects = self.model, self.objects
         mats = self.materials
@@ -297,7 +301,7 @@ class Engine:
         fn = jax.jit(frame, donate_argnums=(0, 1))
         if len(cache) >= self._FUSED_CACHE_MAX:
             cache.pop(next(iter(cache)))  # FIFO evict
-        cache[key] = fn
+        cache[key] = (fn, mats, aloof, present)
         return fn
 
     def _can_fuse(self) -> bool:

@@ -58,7 +58,7 @@ def _load():
     except OSError:
         return None
     lib.ss_create.restype = ctypes.c_void_p
-    lib.ss_create.argtypes = [ctypes.c_int] * 4
+    lib.ss_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 4
     lib.ss_port.restype = ctypes.c_int
     lib.ss_port.argtypes = [ctypes.c_void_p]
     lib.ss_submit.restype = ctypes.c_int
@@ -76,7 +76,7 @@ def _load():
 class _PyMjpegServer:
     """Pure-Python fallback: ThreadingHTTPServer streaming PIL-encoded JPEG."""
 
-    def __init__(self, port: int, quality: int):
+    def __init__(self, port: int, quality: int, bind: str = "127.0.0.1"):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self._cond = threading.Condition()
@@ -127,7 +127,7 @@ class _PyMjpegServer:
                     self.end_headers()
                     self.wfile.write(body)
 
-        self._srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._srv = ThreadingHTTPServer((bind, port), Handler)
         self.port = self._srv.server_port
         self._quality = quality
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
@@ -153,15 +153,20 @@ class StreamSink:
     """Live MJPEG-over-HTTP view: submit (H, W, 3) float [0,1] or uint8
     frames; browse to http://host:port/ to watch."""
 
-    def __init__(self, port: int, width: int, height: int, quality: int = 85):
+    def __init__(self, port: int, width: int, height: int, quality: int = 85,
+                 bind: str = "127.0.0.1"):
+        """`bind` defaults to loopback: the stream has no auth, so exposing
+        it to the network is opt-in (bind='0.0.0.0')."""
         self.width, self.height = width, height
         self._lib = _load()
         self._handle = None
         self._py: Optional[_PyMjpegServer] = None
         if self._lib is not None:
-            self._handle = self._lib.ss_create(port, width, height, quality)
+            self._handle = self._lib.ss_create(
+                bind.encode(), port, width, height, quality
+            )
         if self._handle is None:
-            self._py = _PyMjpegServer(port, quality)
+            self._py = _PyMjpegServer(port, quality, bind=bind)
 
     @property
     def native(self) -> bool:

@@ -53,6 +53,7 @@ def run_viewer(
     script: Optional[Callable[[int], list]] = None,
     show: bool = True,
     stream_port: Optional[int] = None,
+    stream_bind: str = "127.0.0.1",
 ) -> int:
     """Interactive loop; requires a GUI-capable matplotlib backend unless
     `show=False` (Agg).  `script(frame) -> [(key, down), ...]` injects
@@ -86,8 +87,9 @@ def run_viewer(
     if stream_port is not None:
         from .utils.streamsink import StreamSink
 
-        stream = StreamSink(stream_port, arr0.shape[1], arr0.shape[0])
-        print(f"# live view: http://0.0.0.0:{stream.port}/")
+        stream = StreamSink(stream_port, arr0.shape[1], arr0.shape[0],
+                            bind=stream_bind)
+        print(f"# live view: http://{stream_bind}:{stream.port}/")
     im = ax.imshow(arr0)
     ax.set_axis_off()
     title = ax.set_title("")
