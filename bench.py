@@ -102,6 +102,15 @@ def main():
     n_active = int(particles.num_active())
     print(f"# particles: {n_active}, image: {width}x{height}", file=sys.stderr)
 
+    # static FLOP/byte counts of the fused frame (VERDICT r2 #3: anchor perf
+    # in roofline numbers, not just fps) — lowered before the loop because
+    # donation invalidates the concrete args afterwards
+    from spacetime_tpu.utils import roofline
+
+    frame_cost = roofline.cost_of(
+        frame.lower(particles, buf, cam, jnp.float32(0.0)).compile()
+    )
+
     # warmup / fill history past the view radius (compile included)
     t = 0.0
     p, b = particles, buf
@@ -133,11 +142,16 @@ def main():
     sps = n_steps / (time.perf_counter() - t0)
 
     mrays = width * height * fps / 1e6
+    rl = roofline.Roofline(
+        flops=frame_cost[0], bytes_accessed=frame_cost[1],
+        seconds=dt_frame, chip=roofline.chip_kind(),
+    )
     print(
         f"# fused frame: {dt_frame*1e3:.2f} ms ({fps:.1f} fps); "
         f"physics-only: {sps:.0f} steps/s; retarded render: {mrays:.1f} Mrays/s",
         file=sys.stderr,
     )
+    print(f"# roofline: {rl.summary()}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -145,6 +159,10 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 3),
+                "flops_per_frame": frame_cost[0],
+                "hbm_bytes_per_frame": frame_cost[1],
+                "mfu_pct": round(100 * rl.mfu, 3),
+                "hbm_util_pct": round(100 * rl.hbm_util, 2),
             }
         )
     )

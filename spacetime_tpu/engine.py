@@ -137,6 +137,7 @@ class Engine:
         self._prev_img = None  # honest pipelined frame timing (see run_frame)
         self._band_boost = 0  # diagnostics-driven adaptation (see _check_diag)
         self._cap_boost = 0
+        self._pair_boost = 0  # pair_budget doublings (curved routes overflow)
         # Prime the FULL history with inertially-extrapolated past states (the
         # reference's analog is its pre-frame-0 warm-up, main.rs:137-153;
         # without this, retarded visibility would ramp in over `history`
@@ -254,9 +255,11 @@ class Engine:
         spf = cfg.steps_per_frame
         h = jnp.float32(cfg.physics.h)
         params = (
-            rparams if mode == "retarded"
-            else dataclasses.replace(rparams, opaque=False, retarded=False)
+            dataclasses.replace(rparams, opaque=False, retarded=False)
+            if mode == "instant" else rparams
         )
+        hole = self._btz_hole() if mode == "btz" else None
+        defects_at = self._defects if mode == "conical" else None
 
         aloof = self.aloof_bodies
         aloof_slice = getattr(self, "_aloof_slice", None)
@@ -288,11 +291,27 @@ class Engine:
                     body, (particles, buf, t_prev), None, length=spf
                 )
                 aux = jax.tree.map(lambda a: a[-1], auxs)
-            img, diag = raytrace.render_retarded_with_diag(
-                buf, particles.object_index, objects, cam,
-                cfg.width, cfg.height, params,
-                boundary=wl.boundary_mask(particles),
-            )
+            t_end = t_prev + spf * h
+            if mode == "conical":
+                from .ops import curved
+
+                img, diag = curved.render_retarded_conical_with_diag(
+                    buf, particles.object_index, objects, cam,
+                    defects_at(t_end), cfg.width, cfg.height, params,
+                )
+            elif mode == "btz":
+                from .ops import btz as btz_ops
+
+                img, diag = btz_ops.render_btz_with_diag(
+                    buf, particles.object_index, objects, cam, hole,
+                    cfg.width, cfg.height, params,
+                )
+            else:
+                img, diag = raytrace.render_retarded_with_diag(
+                    buf, particles.object_index, objects, cam,
+                    cfg.width, cfg.height, params,
+                    boundary=wl.boundary_mask(particles),
+                )
             return particles, buf, aux, img, diag
 
         # Donating the state + ring buffer lets XLA update the (N, 2T) planes
@@ -308,7 +327,8 @@ class Engine:
         return (
             not self.paused
             and not self.config.stage_timing
-            and self.config.render_mode in ("retarded", "instant")
+            and self.config.render_mode
+            in ("retarded", "instant", "conical", "btz")
             and self._aloof_traceable()
         )
 
@@ -372,6 +392,10 @@ class Engine:
             out = dataclasses.replace(
                 out, bin_capacity=min(out.bin_capacity + self._cap_boost, 384)
             )
+        if self._pair_boost and out.pair_budget > 0:
+            out = dataclasses.replace(
+                out, pair_budget=out.pair_budget << self._pair_boost
+            )
         # view-derived sweep bound: light reaching the (camera-centered)
         # view rect comes from within corner-distance/h ticks; quantize to
         # 128 so zoom micro-changes reuse compiled programs.  Conical mode
@@ -416,29 +440,38 @@ class Engine:
 
             if cfg.defect is None:
                 raise ValueError("render_mode='conical' requires config.defect")
-            return curved.render_retarded_conical(
+            img, self.last_diag = curved.render_retarded_conical_with_diag(
                 self.worldline, self.particles.object_index, self.objects,
                 self.camera, self._defects(), cfg.width, cfg.height, rparams,
             )
+            return img
         if mode == "btz":
             from .ops import btz as btz_ops
 
             if cfg.btz is None:
                 raise ValueError("render_mode='btz' requires config.btz")
-            (hc, hm, hl) = cfg.btz
-            hole = btz_ops.BTZBlackHole.create(hc, hm, hl)
-            return btz_ops.render_btz_xray(
+            img, self.last_diag = btz_ops.render_btz_with_diag(
                 self.worldline, self.particles.object_index, self.objects,
-                self.camera, hole, cfg.width, cfg.height, rparams,
+                self.camera, self._btz_hole(), cfg.width, cfg.height, rparams,
             )
+            return img
         raise ValueError(f"unknown render mode {mode!r}")
 
-    def _defects(self):
+    def _btz_hole(self):
+        from .ops import btz as btz_ops
+
+        (hc, hm, hl) = self.config.btz
+        return btz_ops.BTZBlackHole.create(hc, hm, hl)
+
+    def _defects(self, t=None):
         """ConicalDefect tuple from config.defect — a single ((cx,cy),
         deficit) spec or a tuple of them — with quasi-static motion applied
-        (config.defect_vel, see ops/curved.py module docstring)."""
+        (config.defect_vel, see ops/curved.py module docstring).  `t` may be
+        a traced scalar (the fused frame computes defect motion in-graph)."""
         from .ops import curved
 
+        if t is None:
+            t = self.time
         cfg = self.config
         spec = cfg.defect
         # single spec: ((cx,cy), deficit) -> spec[0][0] is a number;
@@ -456,7 +489,7 @@ class Engine:
         out = []
         for ((cx, cy), deficit), (vx, vy) in zip(specs, vels):
             out.append(curved.ConicalDefect.create(
-                (cx + vx * self.time, cy + vy * self.time), deficit
+                (cx + vx * t, cy + vy * t), deficit
             ))
         return tuple(out)
 
@@ -588,6 +621,23 @@ class Engine:
                         "bin_capacity ceiling (%d)", int(diag.bin_dropped),
                         cap_now,
                     )
+            budget = self.config.render.pair_budget
+            if budget > 0:
+                eff_budget = budget << self._pair_boost
+                if int(diag.pairs_used) > eff_budget:
+                    if self._pair_boost < 4:
+                        self._pair_boost += 1
+                        self.log.warning(
+                            "%d cone-crossing pairs exceed pair_budget %d: "
+                            "doubling to %d (recompile)",
+                            int(diag.pairs_used), eff_budget, eff_budget * 2,
+                        )
+                    else:
+                        self.log.warning(
+                            "%d cone-crossing pairs exceed pair_budget %d at "
+                            "the adaptation ceiling: occupancy/occlusion may "
+                            "drop surfaces", int(diag.pairs_used), eff_budget,
+                        )
             if bool(diag.cell_too_small):
                 self.log.warning(
                     "view cells smaller than capsule reach: splat coverage "

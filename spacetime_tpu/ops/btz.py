@@ -54,6 +54,7 @@ from ..camera import Camera
 from ..state import Objects
 from .raytrace import (
     PairData,
+    RenderDiag,
     RenderParams,
     _BIG,
     _PI,
@@ -338,8 +339,7 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
     return retina
 
 
-@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
-def render_btz_xray(
+def _render_btz_impl(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
     objects: Objects,
@@ -348,15 +348,15 @@ def render_btz_xray(
     width: int,
     height: int,
     params: RenderParams,
-    planar: bool = False,
-) -> jax.Array:
+    planar: bool,
+):
     """Retarded render around a BTZ black hole: per pixel, matter is shown
     at the retarded time of whichever of the two geodesic routes hits
     (shortest VISIBLE delay wins) — double images with gravitational time
     delay.  Opaque mode (params.opaque) occludes along the CURVED routes via
     a 1D retina over arrival bearing at the camera (_btz_retina); shading
     uses the exact closed-form arrival direction per route.  Pixels inside
-    the horizon render black."""
+    the horizon render black.  Returns (image, RenderDiag)."""
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
@@ -370,11 +370,14 @@ def render_btz_xray(
 
     # NO view-hull culling: curved routes pass through off-screen regions,
     # and off-screen matter must still occlude them / show back-route images
-    plist = [
-        _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
-                    params, route_lengths=fn, cull_hull=False)[0]
-        for fn in (d1_of, d2_of)
-    ]
+    plist = []
+    band_truncated = jnp.int32(0)
+    for fn in (d1_of, d2_of):
+        p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
+                               height, params, route_lengths=fn,
+                               cull_hull=False)
+        plist.append(p)
+        band_truncated = band_truncated + trunc
     pairs = PairData(
         pdata=jnp.concatenate([p.pdata for p in plist], axis=0),
         pair_valid=jnp.concatenate([p.pair_valid for p in plist]),
@@ -382,15 +385,21 @@ def render_btz_xray(
     )
     from .raytrace import _compact_pairs_to_budget
 
-    # NOTE: valid pairs beyond params.pair_budget are silently dropped here
-    # (both occupancy and occlusion) — at showcase scales the doubled route
-    # list fits the default budget, but 10^5+-particle scenes should raise
-    # pair_budget; a RenderDiag for the curved paths is roadmap work
+    # both routes' pairs share one pair_budget; pairs.n_pairs stays the
+    # PRE-budget count so Engine._check_diag warns/adapts on overflow
+    # (ADVICE r2: this drop used to be silent)
     pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
-    tables, _bdrop, _small, geom = _build_view_tables(
+    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
+    diag = RenderDiag(
+        pairs_used=pairs.n_pairs,
+        band_truncated=band_truncated,
+        bin_dropped=bin_dropped,
+        cell_too_small=cell_too_small,
+        retina_dropped=None,
+    )
 
     n_rays = params.num_rays
     if use_rays:
@@ -501,7 +510,45 @@ def render_btz_xray(
             pys.reshape(n_blocks, cb, -1),
         ),
     )
-    return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+    img = _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+    return img, diag
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_btz_xray(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    hole: BTZBlackHole,
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+) -> jax.Array:
+    img, _ = _render_btz_impl(
+        buf, obj_index, objects, cam, hole, width, height, params, planar
+    )
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_btz_with_diag(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    hole: BTZBlackHole,
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+):
+    """(image, RenderDiag) — diagnostics surface for the BTZ path
+    (VERDICT r2 #4)."""
+    return _render_btz_impl(
+        buf, obj_index, objects, cam, hole, width, height, params, planar
+    )
 
 
 # keep the historical name: the renderer now honors params.opaque too

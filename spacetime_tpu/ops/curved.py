@@ -60,6 +60,7 @@ from ..camera import Camera
 from ..state import Objects
 from .raytrace import (
     PairData,
+    RenderDiag,
     RenderParams,
     _BIG,
     _PI,
@@ -172,8 +173,7 @@ def _route2_image_pairs(pairs: PairData, cam, defect: ConicalDefect) -> PairData
                     n_pairs=pairs.n_pairs)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
-def render_retarded_conical(
+def _render_conical_impl(
     buf: WorldlineBuffer,
     obj_index: jax.Array,
     objects: Objects,
@@ -182,12 +182,12 @@ def render_retarded_conical(
     width: int,
     height: int,
     params: RenderParams,
-    planar: bool = False,
-) -> jax.Array:
+    planar: bool,
+):
     """Retarded render with conical-defect geodesics: each pixel can show
     matter via the direct route or any defect's around-the-back route
     (multiple images with different retarded times); the shortest VISIBLE
-    route wins.
+    route wins.  Returns (image, RenderDiag).
 
     Opaque mode (params.opaque) marches one 1D occlusion retina PER ROUTE —
     the flat one for the direct route and one over route-2-imaged (rotated)
@@ -213,11 +213,14 @@ def render_retarded_conical(
     # NO view-hull culling: the route-2 retinas test ROTATED candidates
     # against 360-degree straight rays, so off-screen matter can occlude
     # (the flat renderer handles the same concern via _band_pairs_nocull)
-    plist = [
-        _band_pairs(buf, obj_index, objects, cam, t_now, width, height,
-                    params, route_lengths=fn, cull_hull=False)[0]
-        for fn in route_fns
-    ]
+    plist = []
+    band_truncated = jnp.int32(0)
+    for fn in route_fns:
+        p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
+                               height, params, route_lengths=fn,
+                               cull_hull=False)
+        plist.append(p)
+        band_truncated = band_truncated + trunc
     pairs = PairData(
         pdata=jnp.concatenate([p.pdata for p in plist], axis=0),
         pair_valid=jnp.concatenate([p.pair_valid for p in plist]),
@@ -225,12 +228,22 @@ def render_retarded_conical(
     )
     from .raytrace import _compact_pairs_to_budget
 
+    # K+1 routes of pairs share one pair_budget; pairs.n_pairs stays the
+    # PRE-budget count so Engine._check_diag can warn/adapt on overflow
+    # (ADVICE r2: the overflow used to be silent)
     pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
 
-    tables, _bdrop, _small, geom = _build_view_tables(
+    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
+    diag = RenderDiag(
+        pairs_used=pairs.n_pairs,
+        band_truncated=band_truncated,
+        bin_dropped=bin_dropped,
+        cell_too_small=cell_too_small,
+        retina_dropped=None,
+    )
 
     # --- per-route occlusion retinas (opaque mode) ---
     n_rays = params.num_rays
@@ -371,7 +384,46 @@ def render_retarded_conical(
             pys.reshape(n_blocks, cb, -1),
         ),
     )
-    return _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+    img = _assemble_image(crgb, width, height, params, planar, wc_img, hc_img)
+    return img, diag
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_retarded_conical(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    defect,
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+) -> jax.Array:
+    img, _ = _render_conical_impl(
+        buf, obj_index, objects, cam, defect, width, height, params, planar
+    )
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_retarded_conical_with_diag(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cam: Camera,
+    defect,
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+):
+    """(image, RenderDiag) — the flat renderer's diagnostics surface for the
+    conical path (VERDICT r2 #4; retina_dropped is None: curved retinas
+    march the full compacted pair table)."""
+    return _render_conical_impl(
+        buf, obj_index, objects, cam, defect, width, height, params, planar
+    )
 
 
 @partial(jax.jit, static_argnames=("width", "height", "params"))

@@ -610,6 +610,14 @@ def _splat_vslot(
     else:
         offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     n_splat = len(offsets)
+    # NEAREST-k retention: the sort key carries a quantized candidate->cell
+    # distance in its low bits, so a bin past capacity drops the FARTHEST
+    # candidates (graceful degradation at the adaptation ceiling; VERDICT r2
+    # weak #5/#7 — first-k dropped arbitrary candidates).  Quantization is
+    # relative to the cell edge `lam`; any monotone map works, exact
+    # ordering is not required.
+    _DQ = 64  # distance-quantization levels in the key's low bits
+    inv_lam2 = jnp.float32(_DQ) / jnp.maximum(lam * lam, 1e-20)
     keys = []
     for dx, dy in offsets:
         ccx = cell_x + dx
@@ -621,32 +629,36 @@ def _splat_vslot(
         ny_ = jnp.clip(cy, loy, loy + lam)
         d2 = (nx_ - cx) ** 2 + (ny_ - cy) ** 2
         use = pairs.pair_valid & in_grid & (d2 <= (reach + 1e-6) ** 2)
-        keys.append(jnp.where(use, ccy * wc + ccx, n_vcells))
+        dq = jnp.clip((d2 * inv_lam2).astype(jnp.int32), 0, _DQ - 1)
+        keys.append(
+            jnp.where(use, (ccy * wc + ccx) * _DQ + dq, n_vcells * _DQ)
+        )
     key = jnp.stack(keys, axis=1).reshape(-1)  # (pcap * n_splat,)
     val = jnp.broadcast_to(
         jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, n_splat)
     ).reshape(-1)
 
     skey, sval = jax.lax.sort_key_val(key, val)
+    scell = skey // _DQ  # cell part of the composite key
     n_entries = skey.shape[0]
-    # rank within each sorted run via segmented cummax (no scatter-min +
+    # rank within each sorted CELL run via segmented cummax (no scatter-min +
     # re-gather: those cost ~12 ms/frame at 1080p, cummax streams on the VPU)
     idx = jnp.arange(n_entries, dtype=jnp.int32)
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        [jnp.ones((1,), bool), scell[1:] != scell[:-1]]
     )
     run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank = idx - run_start
-    fits = (skey < n_vcells) & (rank < cap)
+    fits = (scell < n_vcells) & (rank < cap)
     dump = n_vcells * cap
-    slot = jnp.where(fits, skey * cap + rank, dump)
+    slot = jnp.where(fits, scell * cap + rank, dump)
     # id scatter + row gather.  (A direct .at[slot].set of the 10-float pair
     # rows was tried and REVERTED: the row scatter serialized at ~13 ms/frame
     # traced; the id scatter + row-gather pair runs at ~3 ms.)
     vslot = jnp.full((n_vcells * cap + 1,), -1, jnp.int32)
     vslot = vslot.at[slot].set(sval)
     vslot = vslot.at[dump].set(-1)
-    bin_dropped = jnp.sum(((skey < n_vcells) & (rank >= cap)).astype(jnp.int32))
+    bin_dropped = jnp.sum(((scell < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
     # coverage constraint: 3x3 splat needs lam >= reach; 2x2 needs lam >= 2*reach

@@ -279,3 +279,76 @@ def test_engine_defect_motion_quasi_static():
     expect = c0 + np.asarray([0.1, -0.05]) * eng.time
     np.testing.assert_allclose(c1, expect, rtol=1e-5, atol=1e-7)
     assert eng.time > 0
+
+
+def _small_conical_cfg(**over):
+    from spacetime_tpu.utils.config import get_config
+
+    cfg = get_config("conical_defect")
+    # history must cover the ~90-tick light delay from the bodies to the
+    # camera or the cone never crosses stored ticks (pairs_used == 0)
+    return dataclasses.replace(
+        cfg, width=48, height=48, history=128,
+        scene=dataclasses.replace(
+            cfg.scene,
+            bodies=(
+                ("disc", 60, (0.25, 0.50), (0.0, 0.2), (0.2, 0.3, 1.0)),
+                ("disc", 60, (0.75, 0.50), (0.0, -0.2), (1.0, 0.3, 0.2)),
+            ),
+        ),
+        **over,
+    )
+
+
+def test_conical_fused_matches_unfused():
+    """The fused single-program conical frame (VERDICT r2 #4: conical/btz
+    now admitted to _can_fuse) renders the same image as the split
+    step/push/render path."""
+    from spacetime_tpu.engine import Engine
+
+    cfg = _small_conical_cfg()
+    eng_f = Engine(cfg)
+    assert eng_f._can_fuse()
+    eng_u = Engine(dataclasses.replace(cfg, stage_timing=True))
+    assert not eng_u._can_fuse()
+    for _ in range(3):
+        img_f = eng_f.run_frame()
+        img_u = eng_u.run_frame()
+    np.testing.assert_allclose(
+        np.asarray(img_f), np.asarray(img_u), atol=2e-5
+    )
+    assert eng_f.last_diag is not None
+    assert int(eng_f.last_diag.pairs_used) > 0
+
+
+def test_conical_pair_budget_overflow_warns_and_adapts():
+    """An overloaded pair_budget on a conical scene fires a warning and
+    doubles the budget (recompile), mirroring the bin-capacity adaptation
+    (ADVICE r2 medium: this overflow used to be silent)."""
+    import logging
+
+    from spacetime_tpu.engine import Engine
+
+    cfg = _small_conical_cfg(diag_every=1)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, pair_budget=64)
+    )
+    eng = Engine(cfg)
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    eng.log.addHandler(_Catch())  # project logger has propagate=False
+    try:
+        eng.run_frame()
+        eng.run_frame()
+    finally:
+        eng.log.handlers = [
+            h for h in eng.log.handlers if not isinstance(h, _Catch)
+        ]
+    assert eng._pair_boost >= 1
+    assert any("pair_budget" in m for m in records)
+    # the boost is live in the next frame's params
+    assert eng._render_params().pair_budget == 64 << eng._pair_boost

@@ -23,30 +23,11 @@ from spacetime_tpu.ops import raytrace  # noqa: E402
 from spacetime_tpu.ops import worldline as wl  # noqa: E402
 
 
-def build(history=1024, n_half=57209):
-    width, height = 1920, 1080
-    sb = scene.SceneBuilder()
-    sb.add(scene.disc_softbody(scene.radius_for_count(n_half), 0, (0.0, 0.0),
-                               (0.07, 0.07), lattice_pad=True),
-           base_color=(0.25, 0.35, 1.0))
-    sb.add(scene.disc_softbody(scene.radius_for_count(n_half), 1, (1.2, 0.8),
-                               (-0.07, -0.07), lattice_pad=True),
-           base_color=(1.0, 0.3, 0.25))
-    particles, objects = sb.build()
-    model = SoftbodyModel(
-        capacity=particles.capacity,
-        spring_offsets=forces_ops.derive_spring_offsets(
-            np.asarray(particles.neighbors)),
-    )
-    buf = wl.create(history, particles.capacity)
-    buf = wl.prefill_inertial(buf, particles.pos, particles.vel,
-                              particles.active, jnp.float32(0.0),
-                              jnp.float32(model.params.h))
-    cam = Camera.create(pos=(0.6, 0.4), zoom=2.0)
-    params = raytrace.RenderParams(
-        dt=model.params.h, num_rays=4096, pair_budget=131072,
-        bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
-        band=4, splat_cells=4, retina_budget=16384, max_age=384)
+def build(history=1024):
+    from tools import refdemo
+
+    width, height = refdemo.WIDTH, refdemo.HEIGHT
+    particles, objects, model, buf, cam, params = refdemo.build(history)
 
     def frame(particles, buf, cam, t):
         particles, _aux = model.step(particles)
@@ -56,7 +37,7 @@ def build(history=1024, n_half=57209):
             planar=True, boundary=wl.boundary_mask(particles))
         return particles, buf, img
 
-    return jax.jit(frame), particles, buf, cam, model
+    return jax.jit(frame, donate_argnums=(0, 1)), particles, buf, cam, model
 
 
 def main():
