@@ -104,7 +104,12 @@ def main(argv=None) -> int:
                           file=sys.stderr)
                 stream.submit(arr)
 
-    summary = eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
+    eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
+    if args.stats and eng._can_fuse():
+        # fused frames report no host-timed stage splits; capture device
+        # stage attribution from a short profiled run of the same program
+        eng.profile_stages()
+    summary = eng.stats.summary()
     if sink is not None:
         sink.close()
     if stream is not None:

@@ -45,13 +45,30 @@ class SoftbodyModel:
     # densest ~3 grid rows of particles or StepAux.window_truncated fires
     # (wide scenes — e.g. the 2^20 capacity run — need more than the default)
     wmax: int = 4096
-    # particles per kernel grid step (window DMA granularity)
-    tile: int = 256
+    # particles per kernel grid step (window DMA granularity).  128 beat 256
+    # by ~9% at the 116k reference scene (smaller own-span -> smaller merged
+    # window; 64 loses to DMA-descriptor overhead — r3 sweep in PERF.md)
+    tile: int = 128
+    # BINNING resolution for the Pallas sorted-window path only — physics is
+    # exact at any value >= collision_distance (windows are supersets; the
+    # in-kernel distance test decides).  Finer rows mean fewer candidates
+    # per 3-row window: 0.002 (= collision_distance) cut the 116k step
+    # 14.05 -> 10.72 ms vs the reference's 0.005 hash-grid resolution
+    # (twoplusone/mod.rs:24; the XLA fallback path keeps that value —
+    # its dense cell table scales with cell count, the sorted windows
+    # don't).  The kernel grid dim rescales to keep the same live extent.
+    bin_resolution: float = 0.002
     # one kernel span per grid row instead of a merged 3-row window: wins
     # when rows are DENSE (the 2^20 capacity scene: ~4k particles/row makes
     # the merged window ~8 DMA chunks of mostly-far candidates); loses at
     # sparse rows where the merged window is already ~1 chunk
     split_windows: bool = False
+    # (Mesh, axis_name): run the Pallas collision kernel under shard_map —
+    # the multi-chip production-kernel path (parallel/sharding.py wires it);
+    # None = single-chip pallas_call
+    shard: Optional[tuple] = None
+    # force Pallas interpret mode (CPU-mesh multi-chip tests)
+    pallas_interpret: bool = False
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -83,6 +100,9 @@ class SoftbodyModel:
             tile=self.tile,
             materials=materials,
             split_windows=self.split_windows,
+            pallas_interpret=self.pallas_interpret,
+            shard=self.shard,
+            bin_resolution=self.bin_resolution,
         )
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
@@ -106,6 +126,9 @@ class SoftbodyModel:
                 tile=self.tile,
                 materials=materials,
                 split_windows=self.split_windows,
+                pallas_interpret=self.pallas_interpret,
+                shard=self.shard,
+                bin_resolution=self.bin_resolution,
             )
             return p, aux
 

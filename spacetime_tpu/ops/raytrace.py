@@ -129,6 +129,10 @@ class RenderParams:
     retina_budget: int = 0
     doppler: bool = True
     beaming: bool = True
+    # (Mesh, axis_name): shard the Pallas pixel pass's cell rows over the
+    # mesh via shard_map (parallel/sharding.make_sharded_frame sets this so
+    # multi-chip runs the production kernel, not the XLA fallback)
+    shard: object = None
     doppler_strength: float = 1.0
     ambient: float = 0.15  # fraction of unshifted base color mixed in
     absorbed_dim: float = 0.35  # brightness of matter hidden behind other matter
@@ -1194,7 +1198,7 @@ def _pixel_pass_pallas_path(
         rho=params.rho, dt=params.dt,
         doppler_strength=params.doppler_strength, ambient=params.ambient,
         absorbed_dim=params.absorbed_dim, shadow=params.shadow,
-        interpret=interpret,
+        interpret=interpret, shard=params.shard,
     )
     img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
     return img, bin_dropped, cell_too_small

@@ -208,6 +208,8 @@ def physics_step(
     tile: int = 256,
     materials=None,  # ops.materials.ParticleMaterials (optional pytree)
     split_windows: bool = False,  # per-grid-row kernel spans (dense rows)
+    shard=None,  # (Mesh, axis): shard_map the Pallas collision kernel
+    bin_resolution=None,  # Pallas-path binning res (None = grid_resolution)
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -229,12 +231,21 @@ def physics_step(
         # capacity — and its overflow diagnostic — do not apply).
         from . import forces_pallas as fp
 
+        # binning-only resolution override: any value >= collision_distance
+        # keeps the sorted windows exact supersets of the 3x3-cell scan
+        # (finer rows -> fewer candidates per window); the kernel grid dim
+        # rescales so the live extent is unchanged
+        bres = bin_resolution if bin_resolution else params.grid_resolution
+        assert bres >= params.collision_distance - 1e-9, (
+            "bin_resolution below collision_distance breaks window coverage"
+        )
+        bdim = max(1, int(round(grid_dim * params.grid_resolution / bres)))
         cell, _origin = grid_ops.cell_ids(
-            pos0, particles.active, params.grid_resolution, grid_dim
+            pos0, particles.active, bres, bdim
         )
         grid_overflow = jnp.int32(0)
         order = fp.build_sorted_order(
-            cell, particles.active, (grid_dim + 2) ** 2, grid_dim + 2,
+            cell, particles.active, (bdim + 2) ** 2, bdim + 2,
             tile=tile, wmax=wmax, split_windows=split_windows,
         )
         # with shifted-slice offsets available, bonded-pair exclusion moves
@@ -253,6 +264,7 @@ def physics_step(
                 repulsion=params.collision_repulsion_coefficient,
                 exclude_bonds=exclude_in_kernel,
                 interpret=pallas_interpret,
+                shard=shard,
             )
             k_pp = materials.k_scale if materials is not None else None
             if spring_offsets is not None:

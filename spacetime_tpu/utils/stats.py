@@ -41,6 +41,10 @@ class StatsWindow:
         self.samples: deque[float] = deque(maxlen=window)
         self.stage_sums: Dict[str, float] = {}
         self.frames = 0
+        # profiler-derived per-frame device stage seconds (the fused path's
+        # stage attribution, utils.profiling.stage_breakdown); when set,
+        # summary() reports these instead of the (zero) host-timed splits
+        self.profiled_stages: Dict[str, float] = {}
 
     def add(self, stats: FramePerfStats) -> None:
         self.samples.append(stats.frame_time)
@@ -64,6 +68,13 @@ class StatsWindow:
         }
         for k, v in self.stage_sums.items():
             out[f"{k.removesuffix('_time')}_avg_ms"] = float(v / max(self.frames, 1) * 1e3)
+        if self.profiled_stages:
+            # fused-path stage attribution from a profiler capture of the
+            # SAME compiled program (Engine.profile_stages)
+            for k in ("step", "worldline", "render", "other", "total"):
+                if k in self.profiled_stages:
+                    out[f"{k}_dev_ms"] = float(self.profiled_stages[k] * 1e3)
+            out["stage_source"] = "profiler"
         return out
 
 
