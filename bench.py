@@ -7,6 +7,15 @@ step + 1080p retarded render on a single v5e — the reference publishes no
 numbers of its own, BASELINE.md).
 
 Extra sub-metrics (steps/sec physics only, Mrays/sec) go to stderr.
+
+Replay-driven A/B regression harness (VERDICT r2 #9):
+    python bench.py --record s.jsonl [--config NAME] [--frames N]
+        record a deterministic scripted session + write s.jsonl.perf.json
+    python bench.py --replay s.jsonl
+        re-drive the EXACT recorded inputs (bit-reproducible on one
+        backend), print one JSON perf line, write s.jsonl.perf.json
+    python bench.py --diff a.perf.json b.perf.json
+        CI-style JSON diff (pct deltas + regression flag)
 """
 
 from __future__ import annotations
@@ -168,5 +177,145 @@ def main():
     )
 
 
+def _scripted_keys(i: int):
+    """Deterministic camera script: pan right, then zoom in, then pause at
+    the end — enough input variety to exercise the hotswap/camera paths."""
+    if i < 10:
+        return {"d": True}
+    if i < 20:
+        return {"z": True}
+    return None
+
+
+def _perf_path(session: str) -> str:
+    return session + ".perf.json"
+
+
+def _run_session(eng, events_or_n, record_path=None):
+    """Drive the engine (recording or replaying) and return the perf dict."""
+    import numpy as _np
+
+    from spacetime_tpu.utils import replay as replay_mod
+
+    times = []
+    eng.sync_per_frame = True  # honest per-frame pipelined timing
+
+    if record_path is not None:
+        rec = replay_mod.ReplayRecorder(
+            record_path, config=eng.config,
+            meta={"config_name": eng.config.name},
+        )
+        eng.recorder = rec
+        for i in range(events_or_n):
+            t0 = time.perf_counter()
+            eng.run_frame(keys=_scripted_keys(i))
+            times.append(time.perf_counter() - t0)
+        rec.close()
+    else:
+        def on_frame(i, img):
+            pass
+
+        for ev in events_or_n:
+            if "hotswap" in ev:
+                eng.hotswap.update(ev["hotswap"])
+            t0 = time.perf_counter()
+            eng.run_frame(keys=ev.get("keys"))
+            times.append(time.perf_counter() - t0)
+    jax.block_until_ready(eng._prev_img)
+    # drop compile/adaptation warmup: steady state = last half
+    steady = _np.asarray(times[len(times) // 2:])
+    perf = {
+        "frames": len(times),
+        "frame_avg_ms": float(steady.mean() * 1e3),
+        "fps_avg": float(1.0 / max(steady.mean(), 1e-9)),
+        "low_1pct_ms": float(_np.sort(steady)[-max(1, len(steady) // 100):]
+                             .mean() * 1e3),
+        "config": eng.config.name,
+        "backend": jax.default_backend(),
+    }
+    return perf
+
+
+def _cmd_record(args):
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils.config import get_config
+
+    eng = Engine(get_config(args.config))
+    perf = _run_session(eng, args.frames, record_path=args.record)
+    with open(_perf_path(args.record), "w") as f:
+        json.dump(perf, f, indent=2)
+    print(json.dumps({
+        "metric": f"recorded session {args.config}",
+        "value": round(perf["fps_avg"], 2), "unit": "fps",
+        "vs_baseline": round(perf["fps_avg"] / 60.0, 3),
+    }))
+
+
+def _cmd_replay(args):
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils import replay as replay_mod
+    from spacetime_tpu.utils.config import get_config
+
+    header, events = replay_mod.load_full(args.replay)
+    name = (header.get("meta") or {}).get("config_name")
+    if not name:
+        raise SystemExit("session has no meta.config_name header")
+    eng = Engine(get_config(name))
+    fp = replay_mod.config_fingerprint(eng.config)
+    if header.get("config") not in (None, fp):
+        raise SystemExit("config fingerprint mismatch: the session was "
+                         "recorded under a different EngineConfig")
+    perf = _run_session(eng, events)
+    with open(_perf_path(args.replay), "w") as f:
+        json.dump(perf, f, indent=2)
+    print(json.dumps({
+        "metric": f"replayed session {name} ({perf['frames']} frames)",
+        "value": round(perf["fps_avg"], 2), "unit": "fps",
+        "vs_baseline": round(perf["fps_avg"] / 60.0, 3),
+    }))
+
+
+def _cmd_diff(args):
+    a = json.load(open(args.diff[0]))
+    b = json.load(open(args.diff[1]))
+    keys = ("frame_avg_ms", "fps_avg", "low_1pct_ms")
+    deltas = {
+        k: {
+            "a": a.get(k), "b": b.get(k),
+            "delta_pct": round(100.0 * (b[k] - a[k]) / a[k], 2)
+            if a.get(k) and b.get(k) else None,
+        }
+        for k in keys
+    }
+    # regression = steady frame time worsened beyond noise
+    reg = (deltas["frame_avg_ms"]["delta_pct"] or 0.0) > args.threshold
+    print(json.dumps({
+        "a": args.diff[0], "b": args.diff[1],
+        "config": {"a": a.get("config"), "b": b.get("config")},
+        "deltas": deltas,
+        "regression": bool(reg),
+        "threshold_pct": args.threshold,
+    }, indent=2))
+    return 1 if reg else 0
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", metavar="SESSION")
+    ap.add_argument("--replay", metavar="SESSION")
+    ap.add_argument("--diff", nargs=2, metavar=("A.perf.json", "B.perf.json"))
+    ap.add_argument("--config", default="flagship_1080p")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--threshold", type=float, default=5.0,
+                    help="regression threshold, pct frame-time increase")
+    _args = ap.parse_args()
+    if _args.record:
+        _cmd_record(_args)
+    elif _args.replay:
+        _cmd_replay(_args)
+    elif _args.diff:
+        sys.exit(_cmd_diff(_args))
+    else:
+        main()

@@ -32,7 +32,10 @@ class SceneSpec:
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    scene: SceneSpec
+    # registry key when built via get_config (replay sessions store it so
+    # `bench.py --replay` can reconstruct the engine); "" for ad-hoc configs
+    name: str = ""
+    scene: SceneSpec = None
     physics: PhysicsParams = DEFAULT_PARAMS
     render: RenderParams = RenderParams()
     width: int = 256
@@ -271,4 +274,4 @@ CONFIGS = {
 def get_config(name: str) -> EngineConfig:
     if name not in CONFIGS:
         raise KeyError(f"unknown config {name!r}; choose from {sorted(CONFIGS)}")
-    return CONFIGS[name]()
+    return dataclasses.replace(CONFIGS[name](), name=name)

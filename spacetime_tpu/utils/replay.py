@@ -33,13 +33,15 @@ class ReplayRecorder:
     """Appends one JSONL event per frame; the engine calls `record` at the
     top of run_frame (before inputs are applied)."""
 
-    def __init__(self, path: str, config=None):
+    def __init__(self, path: str, config=None, meta: Optional[Dict] = None):
         self.path = path
         self._f = open(path, "w")
         self._last_hotswap: Optional[Dict] = None
         header = {"kind": "header", "version": 1}
         if config is not None:
             header["config"] = config_fingerprint(config)
+        if meta:
+            header["meta"] = dict(meta)  # e.g. named-config key for replay
         self._f.write(json.dumps(header) + "\n")
 
     def record(self, frame: int, keys: Optional[Dict], hotswap: Dict) -> None:
@@ -63,9 +65,9 @@ class ReplayRecorder:
         self.close()
 
 
-def load(path: str) -> tuple[Optional[str], List[Dict]]:
-    """Returns (config_fingerprint | None, [frame events])."""
-    fp = None
+def load_full(path: str) -> tuple[Dict, List[Dict]]:
+    """Returns (header dict, [frame events])."""
+    header: Dict = {}
     events: List[Dict] = []
     with open(path) as f:
         for line in f:
@@ -74,10 +76,16 @@ def load(path: str) -> tuple[Optional[str], List[Dict]]:
                 continue
             ev = json.loads(line)
             if ev.get("kind") == "header":
-                fp = ev.get("config")
+                header = ev
             else:
                 events.append(ev)
-    return fp, events
+    return header, events
+
+
+def load(path: str) -> tuple[Optional[str], List[Dict]]:
+    """Returns (config_fingerprint | None, [frame events])."""
+    header, events = load_full(path)
+    return header.get("config"), events
 
 
 def replay(engine, path: str, on_frame=None, strict: bool = True):
