@@ -41,6 +41,7 @@ from .utils.stats import FramePerfStats, StatsWindow
 def build_scene(spec: SceneSpec):
     sb = scene_mod.SceneBuilder()
     pad = spec.lattice_pad
+    mat_idx = spec.material_indices or (0,) * len(spec.bodies)
     for i, (kind, arg, offset, vel, rgb) in enumerate(spec.bodies):
         if kind == "disc":
             body = scene_mod.disc_softbody(
@@ -60,7 +61,7 @@ def build_scene(spec: SceneSpec):
             )
         else:
             raise ValueError(f"unknown body kind {kind!r}")
-        sb.add(body, base_color=rgb)
+        sb.add(body, base_color=rgb, material_index=mat_idx[i])
     return sb.build(spec.capacity)
 
 
@@ -122,6 +123,17 @@ class Engine:
             self.materials = materials_ops.particle_materials(
                 config.materials, objects.material_index,
                 particles.object_index,
+            )
+        if (
+            self.materials is not None
+            and self.materials.creep_rate is not None
+            and self.particles.rest_len is None
+        ):
+            # plastic creep needs the per-bond rest-length state
+            from .state import with_rest_len
+
+            self.particles = with_rest_len(
+                self.particles, config.physics.rest_lengths()
             )
         self.worldline = wl.create(config.history, particles.capacity)
         self.camera = Camera.create(config.cam_pos, config.cam_zoom, config.cam_vel)
@@ -308,7 +320,7 @@ class Engine:
 
                 img, diag = curved.render_retarded_conical_with_diag(
                     buf, particles.object_index, objects, cam,
-                    defects_at(t_end), cfg.width, cfg.height, params,
+                    defects_at(t_end, cam), cfg.width, cfg.height, params,
                 )
             elif mode == "btz":
                 from .ops import btz as btz_ops
@@ -474,15 +486,25 @@ class Engine:
         (hc, hm, hl) = self.config.btz
         return btz_ops.BTZBlackHole.create(hc, hm, hl)
 
-    def _defects(self, t=None):
+    def _defects(self, t=None, cam=None):
         """ConicalDefect tuple from config.defect — a single ((cx,cy),
-        deficit) spec or a tuple of them — with quasi-static motion applied
+        deficit) spec or a tuple of them — with motion applied
         (config.defect_vel, see ops/curved.py module docstring).  `t` may be
-        a traced scalar (the fused frame computes defect motion in-graph)."""
+        a traced scalar (the fused frame computes defect motion in-graph).
+
+        With config.defect_retarded the geometry is RETARDED (round-3
+        stretch: beyond quasi-static): each defect is placed at its position
+        on the camera's past light cone — the Lienard-Wiechert construction
+        for the geometry source.  For linear motion c(t) = c0 + v t the
+        retarded time solves |c(t_r) - cam| = t - t_r, a quadratic with the
+        physical (t_r <= t) root chosen; changes to the geometry thus
+        propagate to the observer at light speed instead of instantly."""
         from .ops import curved
 
         if t is None:
             t = self.time
+        if cam is None:
+            cam = self.camera
         cfg = self.config
         spec = cfg.defect
         # single spec: ((cx,cy), deficit) -> spec[0][0] is a number;
@@ -499,9 +521,24 @@ class Engine:
             )
         out = []
         for ((cx, cy), deficit), (vx, vy) in zip(specs, vels):
-            out.append(curved.ConicalDefect.create(
-                (cx + vx * t, cy + vy * t), deficit
-            ))
+            if cfg.defect_retarded and (vx != 0.0 or vy != 0.0):
+                # retarded time: |c0 + v t_r - cam| = t - t_r
+                qx = cx - cam.pos[0]
+                qy = cy - cam.pos[1]
+                v2 = vx * vx + vy * vy
+                a = v2 - 1.0
+                b = 2.0 * (qx * vx + qy * vy + t)
+                c_ = qx * qx + qy * qy - t * t
+                # a < 0 (|v| < c): the t_r <= t root is (-b + sqrt(D)) / 2a
+                disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c_, 0.0))
+                t_r = (-b + disc) / (2.0 * a)
+                out.append(curved.ConicalDefect.create(
+                    (cx + vx * t_r, cy + vy * t_r), deficit
+                ))
+            else:
+                out.append(curved.ConicalDefect.create(
+                    (cx + vx * t, cy + vy * t), deficit
+                ))
         return tuple(out)
 
     def run_frame(self, keys: Optional[Dict] = None) -> jax.Array:

@@ -36,7 +36,7 @@ _EPS = 1e-20
 def spring_forces(
     pos: jax.Array,  # (N, 2)
     neighbors: jax.Array,  # (N, 8) global indices, -1 = none
-    rest_lengths: jax.Array,  # (8,)
+    rest_lengths: jax.Array,  # (8,) or (N, 8) per-bond (plastic creep)
     k: float,
 ) -> jax.Array:
     """Hooke spring force sum over bond slots (softbodyrk4.glsl:119-140)."""
@@ -48,7 +48,8 @@ def spring_forces(
     dy = py[:, None] - py[nbr]
     dist = jnp.sqrt(dx * dx + dy * dy)
     inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
-    mag = jnp.where(valid, -k * (dist - rest_lengths[None, :]) * inv, 0.0)
+    rl = rest_lengths[None, :] if rest_lengths.ndim == 1 else rest_lengths
+    mag = jnp.where(valid, -k * (dist - rl) * inv, 0.0)
     return jnp.stack([jnp.sum(mag * dx, axis=1), jnp.sum(mag * dy, axis=1)], axis=-1)
 
 
@@ -116,7 +117,7 @@ def spring_forces_rows(
     px: jax.Array,
     py: jax.Array,
     neighbors: jax.Array,  # (N, 8)
-    rest_lengths: jax.Array,  # (8,)
+    rest_lengths: jax.Array,  # (8,) or (N, 8) per-bond (plastic creep)
     k: float,
     k_pp=None,  # (N,) optional per-particle stiffness scale
     c_pp=None,  # (N,) optional per-particle damping coefficient
@@ -144,7 +145,8 @@ def spring_forces_rows(
     valid = neighbors >= 0
     inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
     kk = k if k_pp is None else k * 0.5 * (k_pp[:, None] + g[..., 2])
-    mag = jnp.where(valid, -kk * (dist - rest_lengths[None, :]) * inv, 0.0)
+    rl = rest_lengths[None, :] if rest_lengths.ndim == 1 else rest_lengths
+    mag = jnp.where(valid, -kk * (dist - rl) * inv, 0.0)
     fx = jnp.sum(mag * dx, axis=1)
     fy = jnp.sum(mag * dy, axis=1)
     if c_pp is not None:
@@ -213,7 +215,9 @@ def spring_forces_shifted(px, py, neighbors, offsets, rest_lengths, k,
             dist = jnp.sqrt(dx * dx + dy * dy)
             inv = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, _EPS), 0.0)
             kk = k if k_pp is None else k * 0.5 * (k_pp + jnp.roll(k_pp, -d))
-            mag = jnp.where(sel, -kk * (dist - rest_lengths[s]) * inv, 0.0)
+            rl = (rest_lengths[s] if rest_lengths.ndim == 1
+                  else rest_lengths[:, s])
+            mag = jnp.where(sel, -kk * (dist - rl) * inv, 0.0)
             fx = fx + mag * dx
             fy = fy + mag * dy
     return fx, fy
@@ -354,3 +358,58 @@ def total_forces_dense(
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
     valid = jnp.broadcast_to(active[None, :], (n, n))
     return total_forces(pos, neighbors, idx, valid, rest_lengths, params)
+
+
+def creep_rest_lengths_shifted(px, py, neighbors, offsets, rest_len,
+                               creep_rate, yield_strain, h):
+    """Plastic creep: per-bond rest lengths grow toward the current length
+    when stretched past the yield strain (permanent deformation).
+
+    R' = R + c_pair * h * max(0, L - R * (1 + y_pair))
+
+    with c_pair = min(c_i, c_j) and y_pair = max(y_i, y_j) — both symmetric
+    pair reductions, so the two reciprocal slots of a bond update to the
+    same value and bond forces stay equal-and-opposite.  The reference has
+    one rigid global material (softbodyrk4.glsl:24-33); this extends the
+    round-2 material table along ROADMAP's plastic-creep axis.  Reads use
+    the same shifted-slice masking as spring_forces_shifted."""
+    n = px.shape[0]
+    iota = jnp.arange(n, dtype=neighbors.dtype)
+    y = 0.0 if yield_strain is None else yield_strain
+    cols = []
+    for s, ds in enumerate(offsets):
+        col = neighbors[:, s]
+        bonded = col >= 0
+        r_s = rest_len[:, s]
+        new_s = r_s
+        for d in ds:
+            sel = bonded & (col == iota + d)
+            dx = px - jnp.roll(px, -d)
+            dy = py - jnp.roll(py, -d)
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            c_pair = jnp.minimum(creep_rate, jnp.roll(creep_rate, -d))
+            if yield_strain is None:
+                y_pair = 0.0
+            else:
+                y_pair = jnp.maximum(yield_strain, jnp.roll(yield_strain, -d))
+            excess = jnp.maximum(0.0, dist - r_s * (1.0 + y_pair))
+            new_s = jnp.where(sel, r_s + c_pair * h * excess, new_s)
+        cols.append(new_s)
+    return jnp.stack(cols, axis=1)
+
+
+def creep_rest_lengths_rows(pos, neighbors, rest_len, creep_rate,
+                            yield_strain, h):
+    """creep_rest_lengths_shifted via row gathers (non-lattice scenes)."""
+    n = pos.shape[0]
+    valid = neighbors >= 0
+    clipped = jnp.clip(neighbors, 0, n - 1)
+    nbr_pos = pos[clipped]
+    dist = jnp.linalg.norm(pos[:, None, :] - nbr_pos, axis=-1)
+    c_pair = jnp.minimum(creep_rate[:, None], creep_rate[clipped])
+    if yield_strain is None:
+        y_pair = 0.0
+    else:
+        y_pair = jnp.maximum(yield_strain[:, None], yield_strain[clipped])
+    excess = jnp.maximum(0.0, dist - rest_len * (1.0 + y_pair))
+    return jnp.where(valid, rest_len + c_pair * h * excess, rest_len)

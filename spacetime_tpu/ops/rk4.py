@@ -163,6 +163,7 @@ def rk4_step(
         object_index=particles.object_index,
         particle_id=particles.particle_id,
         active=particles.active,
+        rest_len=particles.rest_len,
     )
     return new, n_broken
 
@@ -191,6 +192,7 @@ def euler_step(
         object_index=particles.object_index,
         particle_id=particles.particle_id,
         active=particles.active,
+        rest_len=particles.rest_len,
     )
 
 
@@ -221,6 +223,10 @@ def physics_step(
     h = params.h
     pos0, vel0 = particles.pos, particles.vel
     nbr, m = particles.neighbors, particles.rest_mass
+    # per-bond rest lengths (plastic creep state) override the static slot
+    # constants when present
+    if particles.rest_len is not None:
+        rest_lengths = particles.rest_len
 
     if use_pallas:
         # fused Pallas collision kernel over sorted cell windows (TPU only);
@@ -322,6 +328,7 @@ def physics_step(
             object_index=particles.object_index,
             particle_id=particles.particle_id,
             active=particles.active,
+            rest_len=particles.rest_len,
         )
         return new, StepAux(grid_overflow=grid_overflow, bonds_broken=jnp.int32(0),
                             window_truncated=window_truncated)
@@ -353,6 +360,23 @@ def physics_step(
             pos0, nbr, params.bond_break_threshold, break_scale=brk_pp
         )
 
+    # plastic creep (stage-4 state update, like bond breaking): bonds
+    # stretched past their yield strain at the step's START positions
+    # permanently lengthen toward the current length
+    new_rest = particles.rest_len
+    if (
+        materials is not None
+        and getattr(materials, "creep_rate", None) is not None
+        and new_rest is not None
+    ):
+        new_rest = forces_ops.creep_rest_lengths_shifted(
+            pos0[:, 0], pos0[:, 1], nbr, spring_offsets, new_rest,
+            materials.creep_rate, materials.yield_strain, h,
+        ) if spring_offsets is not None else forces_ops.creep_rest_lengths_rows(
+            pos0, nbr, new_rest, materials.creep_rate,
+            materials.yield_strain, h,
+        )
+
     act = particles.active[:, None]
     new = Particles(
         pos=jnp.where(act, pos, pos0),
@@ -362,6 +386,7 @@ def physics_step(
         object_index=particles.object_index,
         particle_id=particles.particle_id,
         active=particles.active,
+        rest_len=new_rest,
     )
     return new, StepAux(grid_overflow=grid_overflow, bonds_broken=n_broken,
                         window_truncated=window_truncated)

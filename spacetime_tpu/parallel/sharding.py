@@ -40,12 +40,15 @@ from ..ops import worldline as wl
 from ..state import Objects, Particles
 
 
-def particle_sharding(mesh: Mesh, axis: str = "d"):
-    """Shardings for the Particles pytree: shard the capacity axis."""
+def particle_sharding(mesh: Mesh, axis: str = "d", with_rest_len=False):
+    """Shardings for the Particles pytree: shard the capacity axis.
+    `with_rest_len=True` when the state carries the plastic-creep rest-length
+    plane (the pytrees must have matching structure)."""
     row = NamedSharding(mesh, P(axis))
     return Particles(
         pos=row, vel=row, rest_mass=row, neighbors=row,
         object_index=row, particle_id=row, active=row,
+        rest_len=row if with_rest_len else None,
     )
 
 
@@ -68,7 +71,11 @@ def replicated(mesh: Mesh):
 
 def shard_state(particles: Particles, buf: wl.WorldlineBuffer, mesh: Mesh, axis="d"):
     """Place existing host/device state onto the mesh."""
-    p = jax.device_put(particles, particle_sharding(mesh, axis))
+    p = jax.device_put(
+        particles,
+        particle_sharding(mesh, axis,
+                          with_rest_len=particles.rest_len is not None),
+    )
     b = jax.device_put(buf, worldline_sharding(mesh, axis))
     return p, b
 
@@ -147,7 +154,8 @@ def make_sharded_step(model: SoftbodyModel, mesh: Mesh, axis: str = "d",
             model, use_pallas=True, shard=(mesh, axis),
             pallas_interpret=jax.default_backend() == "cpu",
         )
-    p_shard = particle_sharding(mesh, axis)
+    wrl = materials is not None and getattr(materials, "creep_rate", None) is not None
+    p_shard = particle_sharding(mesh, axis, with_rest_len=wrl)
 
     def step(particles: Particles):
         new, aux = model.step(particles, materials)

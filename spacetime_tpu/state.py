@@ -47,6 +47,14 @@ class Particles:
     object_index: jax.Array  # (N,) i32
     particle_id: jax.Array  # (N,) i32 — globally unique (reference: mod.rs:157)
     active: jax.Array  # (N,) bool — False for padding slots
+    # (N, 8) f32 per-BOND rest lengths — plastic-creep state (ops/materials
+    # creep_rate): bonds stretched past their yield strain permanently
+    # lengthen.  None = rigid rest lengths (the reference's global constants,
+    # twoplusone/mod.rs:16-19); populated by with_rest_len() when a creeping
+    # material is configured.  Updates are symmetric (both endpoints compute
+    # the same new value from the same pair quantities), so the reciprocal
+    # slots never diverge.
+    rest_len: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -136,6 +144,16 @@ def pack_particles(
         particle_id=jnp.asarray(pad(particle_id.astype(np.int32), -1)),
         active=jnp.asarray(pad(np.asarray(active, bool), False)),
     )
+
+
+def with_rest_len(particles: Particles, slot_rest_lengths) -> Particles:
+    """Initialize the plastic-creep rest-length state: every bond starts at
+    its slot's rigid rest length (constants.PhysicsParams.rest_lengths)."""
+    n = particles.capacity
+    rl = jnp.broadcast_to(
+        jnp.asarray(slot_rest_lengths, jnp.float32)[None, :], (n, NUM_NEIGHBORS)
+    )
+    return dataclasses.replace(particles, rest_len=rl)
 
 
 def concat_particle_arrays(parts):

@@ -28,6 +28,8 @@ class SceneSpec:
     # pad bodies to their bounding boxes (regular bond offsets -> shifted-
     # slice spring physics, ~1.5x faster steps for ~1.3x capacity)
     lattice_pad: bool = True
+    # per-body material id into EngineConfig.materials (None = all 0)
+    material_indices: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +56,10 @@ class EngineConfig:
     defect: Optional[Tuple] = None
     # quasi-static defect motion: one (vx, vy) per defect
     defect_vel: Optional[Tuple[Tuple[float, float], ...]] = None
+    # place moving defects at their RETARDED position on the camera's past
+    # light cone (geometry changes propagate at c; engine._defects) instead
+    # of quasi-statically at t_now
+    defect_retarded: bool = False
     # BTZ black hole for render_mode='btz': ((cx, cy), mass, ads_l)
     btz: Optional[Tuple[Tuple[float, float], float, float]] = None
     # split-jit debug mode: run step / worldline push / render as separate
@@ -63,8 +69,9 @@ class EngineConfig:
     # read StepAux/RenderDiag every N frames: warn + adapt band/bin capacity
     diag_every: int = 30
     # per-material (k_scale, damping, break_scale) rows indexed by the
-    # objects' material_index (ops/materials.py); None = one default material
-    materials: Optional[Tuple[Tuple[float, float, float], ...]] = None
+    # objects' material_index (ops/materials.py); None = one default material.
+    # Rows are (k_scale, damping, break_scale[, creep_rate, yield_strain])
+    materials: Optional[Tuple[Tuple[float, ...], ...]] = None
 
 
 def _blob(count, offset, vel, rgb):
@@ -174,6 +181,29 @@ def config_conical_defect() -> EngineConfig:
     )
 
 
+def config_plastic_collision() -> EngineConfig:
+    """Plastic vs elastic collision (round-3 materials stretch): the blue
+    blob creeps (permanent deformation: it stays dented after impact), the
+    red one is elastic.  Per-bond rest-length state, ops/forces
+    creep_rest_lengths_shifted."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(3000, (0.30, 0.50), (0.12, 0.0), BLUE),
+                _blob(3000, (0.70, 0.50), (-0.12, 0.0), RED),
+            ),
+            material_indices=(0, 1),
+        ),
+        width=512,
+        height=512,
+        history=384,
+        cam_pos=(0.5, 0.5),
+        render=RenderParams(bin_capacity=128),
+        # blue: creeping solder-like material; red: stiff elastic
+        materials=((1.0, 25.0, 1.0, 25.0, 0.10), (1.0, 10.0, 1.0)),
+    )
+
+
 def config_png_demo() -> EngineConfig:
     """The reference's ACTUAL demo path end-to-end: PNG blobs imported via
     image_to_softbody on a collision course (reference:
@@ -267,6 +297,7 @@ CONFIGS = {
     "flagship_1080p": config_flagship_1080p,
     "accelerated_camera": config_accelerated_camera,
     "conical_defect": config_conical_defect,
+    "plastic_collision": config_plastic_collision,
     "rindler_horizon": config_rindler_horizon,
 }
 

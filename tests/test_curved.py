@@ -352,3 +352,54 @@ def test_conical_pair_budget_overflow_warns_and_adapts():
     assert any("pair_budget" in m for m in records)
     # the boost is live in the next frame's params
     assert eng._render_params().pair_budget == 64 << eng._pair_boost
+
+
+def test_retarded_defect_motion_matches_static_at_retarded_position():
+    """defect_retarded=True places a moving defect at its retarded position
+    on the camera's past light cone — by construction the image must equal a
+    STATIC defect pinned at that exact position (round-3 stretch: geometry
+    changes propagate at c instead of instantly)."""
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.utils.config import get_config
+
+    v = (0.4, -0.2)
+    cfg = _small_conical_cfg(defect_vel=(v,), defect_retarded=True)
+    eng = Engine(cfg)
+    for _ in range(4):
+        img_r = eng.run_frame()
+    t = eng.time
+    (d_used,) = eng._defects(t)
+    c_used = np.asarray(d_used.center)
+
+    # hand-solve the retarded time and check the light-cone condition
+    (c0, deficit) = cfg.defect
+    cam = np.asarray(eng.camera.pos)
+    q = np.asarray(c0) - cam
+    vv = np.asarray(v)
+    a = vv @ vv - 1.0
+    b = 2.0 * (q @ vv + t)
+    c_ = q @ q - t * t
+    t_r = (-b + np.sqrt(b * b - 4 * a * c_)) / (2 * a)
+    assert t_r <= t
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(c0) + vv * t_r - cam), t - t_r, rtol=1e-5
+    )
+    np.testing.assert_allclose(c_used, np.asarray(c0) + vv * t_r, rtol=1e-5)
+    # retarded position lags the quasi-static one (defect moving away from
+    # its past cone position)
+    eng_q = Engine(_small_conical_cfg(defect_vel=(v,)))
+    for _ in range(4):
+        img_q = eng_q.run_frame()
+    (d_q,) = eng_q._defects(eng_q.time)
+    assert not np.allclose(c_used, np.asarray(d_q.center), atol=1e-6)
+
+    # definition equality: static defect pinned at the retarded position
+    cfg_s = _small_conical_cfg()
+    cfg_s = dataclasses.replace(cfg_s, defect=(tuple(c_used), deficit))
+    eng_s = Engine(cfg_s)
+    # same particle history: replay the same number of frames
+    for _ in range(4):
+        img_s = eng_s.run_frame()
+    np.testing.assert_allclose(
+        np.asarray(img_r), np.asarray(img_s), atol=2e-5
+    )

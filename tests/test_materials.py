@@ -201,3 +201,114 @@ def test_engine_materials_config_end_to_end():
     pa = np.asarray(eng_a.particles.pos)[np.asarray(eng_a.particles.active)]
     pb = np.asarray(eng_b.particles.pos)[np.asarray(eng_b.particles.active)]
     assert np.abs(pa - pb).max() > 1e-5  # materials changed the trajectory
+
+
+# ---------------------------------------------------------------------------
+# Plastic creep (per-bond rest-length state, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_creep_closed_form_one_step():
+    """One creep update matches R' = R + c*h*max(0, L - R*(1+y)) exactly
+    (rows path), and the shifted path agrees."""
+    from spacetime_tpu.state import pack_particles, with_rest_len
+
+    # 1x2 lattice: one horizontal bond, stretched to 2x rest length
+    rest = DEFAULT_PARAMS.rest_lengths()
+    L = 2.0 * rest[0]
+    pos = np.array([[0.0, 0.0], [L, 0.0]], np.float32)
+    vel = np.zeros_like(pos)
+    nbr = np.full((2, 8), -1, np.int32)
+    nbr[0, 2] = 1  # right bond
+    nbr[1, 0] = 0  # left bond (reciprocal)
+    p = pack_particles(pos, vel, nbr, np.zeros(2, np.int32), capacity=256)
+    p = with_rest_len(p, rest)
+    c, y, h = 3.0, 0.25, DEFAULT_PARAMS.h
+    rate = jnp.full((256,), c)
+    ystr = jnp.full((256,), y)
+
+    new_rows = forces_ops.creep_rest_lengths_rows(
+        p.pos, p.neighbors, p.rest_len, rate, ystr, h
+    )
+    expect = rest[0] + c * h * max(0.0, L - rest[0] * (1.0 + y))
+    assert np.isclose(float(new_rows[0, 2]), expect, rtol=1e-6)
+    assert np.isclose(float(new_rows[1, 0]), expect, rtol=1e-6)  # symmetric
+    # unstretched slots unchanged
+    assert np.allclose(np.asarray(new_rows[0, [0, 1, 3]]),
+                       rest[[0, 1, 3]], rtol=1e-7)
+
+    offsets = forces_ops.derive_spring_offsets(np.asarray(p.neighbors))
+    new_sh = forces_ops.creep_rest_lengths_shifted(
+        p.pos[:, 0], p.pos[:, 1], p.neighbors, offsets, p.rest_len,
+        rate, ystr, h
+    )
+    np.testing.assert_allclose(np.asarray(new_sh), np.asarray(new_rows),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_creep_permanent_deformation_vs_elastic():
+    """Oracle behavior: a stretched-then-released creeping bond settles at a
+    LONGER rest separation (permanent deformation); the elastic control
+    returns to the original rest length; momentum stays conserved."""
+    from spacetime_tpu.state import pack_particles, with_rest_len
+    from spacetime_tpu.utils import diagnostics
+
+    rest = DEFAULT_PARAMS.rest_lengths()
+    L0 = 1.8 * rest[0]  # stretched start
+    pos = np.array([[0.0, 0.0], [L0, 0.0]], np.float32)
+    vel = np.zeros_like(pos)
+    nbr = np.full((2, 8), -1, np.int32)
+    nbr[0, 2] = 1
+    nbr[1, 0] = 0
+    base = pack_particles(pos, vel, nbr, np.zeros(2, np.int32), capacity=256)
+    model = SoftbodyModel(capacity=256, use_pallas=False)
+    damp = jnp.full((256,), 40.0)  # settle oscillations
+
+    def run(table_row):
+        mats = materials_ops.ParticleMaterials(
+            k_scale=None, damping=damp, break_scale=None,
+            creep_rate=jnp.full((256,), table_row[3]),
+            yield_strain=jnp.full((256,), table_row[4]),
+        ) if table_row[3] > 0 else materials_ops.ParticleMaterials(
+            k_scale=None, damping=damp, break_scale=None,
+        )
+        p = with_rest_len(base, rest) if table_row[3] > 0 else base
+        for _ in range(500):
+            p, _ = model.step(p, mats)
+        return p
+
+    elastic = run((1.0, 40.0, 1.0, 0.0, 0.0))
+    plastic = run((1.0, 40.0, 1.0, 50.0, 0.1))
+
+    def sep(p):
+        return float(jnp.linalg.norm(p.pos[1] - p.pos[0]))
+
+    # elastic returns near original rest; plastic keeps a longer separation
+    assert abs(sep(elastic) - rest[0]) < 0.15 * rest[0]
+    assert sep(plastic) > sep(elastic) * 1.1
+    # the plastic rest length grew, symmetrically
+    assert float(plastic.rest_len[0, 2]) > rest[0] * 1.1
+    np.testing.assert_allclose(
+        float(plastic.rest_len[0, 2]), float(plastic.rest_len[1, 0]),
+        rtol=1e-6,
+    )
+    # momentum conserved through creeping (forces stayed pairwise opposite)
+    tot = diagnostics.totals(plastic)
+    assert abs(float(tot.momentum[0])) < 1e-4
+    assert abs(float(tot.momentum[1])) < 1e-4
+
+
+def test_creep_materials_table_plumbing():
+    """5-tuple material specs expand to creep planes; 3-tuples stay
+    creep-free; engine initializes the rest-length state."""
+    p, objects = _two_blob()
+    mats = _mats(p, objects, [(1.0, 0.0, 1.0, 5.0, 0.2), (1.0, 0.0, 1.0)])
+    assert mats.creep_rate is not None
+    arr = np.asarray(mats.creep_rate)
+    obj = np.asarray(p.object_index)
+    act = np.asarray(p.active)
+    assert np.all(arr[act & (obj == 0)] == 5.0)
+    assert np.all(arr[act & (obj == 1)] == 0.0)
+
+    mats3 = _mats(p, objects, [(0.5, 0.0, 1.0), (1.0, 0.0, 1.0)])
+    assert mats3.creep_rate is None

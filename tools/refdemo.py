@@ -63,7 +63,7 @@ def render_params(h):
     # ticks + band + 8 = 242, quantized up to 128 (the engine's own formula).
     return raytrace.RenderParams(
         dt=h, num_rays=4096, pair_budget=131072,
-        bin_capacity=128, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
+        bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
         band=4, splat_cells=4, retina_budget=16384, max_age=256,
     )
 
