@@ -74,6 +74,7 @@ from .worldline import WorldlineBuffer
 
 _BIG = jnp.float32(3.0e38)
 _PI = jnp.float32(jnp.pi)
+_DQ = 64  # splat-key distance-quantization levels (nearest-k bin retention)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +120,11 @@ class RenderParams:
     # farthest visible point + margin or distant matter silently vanishes
     # (engine._render_params derives it from the zoom each frame).
     max_age: int = 0
+    # use the fused Pallas band-search/window kernel (ops/band_pallas.py)
+    # instead of the XLA dense sweep.  OFF by default: at the 116k scene the
+    # kernel measured ~1.5 ms SLOWER than XLA's fused sweep chain (see
+    # PERF.md round-3 log) — kept as an opt-in baseline for future tuning.
+    band_kernel: bool = False
     # occlusion-retina pair budget when a boundary mask is supplied: only
     # SURFACE particles' capsules can be first hits (interior discs sit
     # behind an overlapping boundary layer: rho 0.0026 > spacing/2), so the
@@ -321,7 +327,8 @@ class ViewTables(NamedTuple):
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
-def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams):
+def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
+                      cam=None):
     """Find each particle's cone-crossing tick band and fetch its window.
 
     Returns (a0, hi0, truncated, (wx, wy, wvx, wvy, ages)) where the window
@@ -358,6 +365,38 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams)
     # younger endpoint) can reference an unswept tick: out-of-slice columns
     # extract as 0.0 and would otherwise ghost through the annulus test
     hi0 = jnp.minimum(hi0, a_sw - 1)
+
+    # --- fused Pallas band kernel (Euclidean route, TPU backends): streams
+    # the position planes ONCE for search + extraction (ops/band_pallas.py)
+    backend, interpret = _resolve_backend(params)
+    if (
+        params.band_kernel
+        and cam is not None and route_lengths is None and backend == "pallas"
+        and a_sw % 128 == 0 and n % 256 == 0 and (2 * t_cap) % 8 == 0
+        and 2 * t_cap >= 32
+    ):
+        from . import band_pallas
+
+        a0, alast, wx, wy, wvx, wvy = band_pallas.cone_band_window_pallas(
+            buf.pos_x, buf.pos_y, buf.vel_x, buf.vel_y,
+            col0.astype(jnp.int32), hi0.astype(jnp.int32),
+            base_col.astype(jnp.int32),
+            cam.pos[0], cam.pos[1], jnp.float32(dt), jnp.float32(thresh),
+            a_sw=a_sw, band=band, interpret=interpret,
+        )
+        truncated = jnp.sum((alast >= a0 + band).astype(jnp.int32))
+        w = band + 1
+        start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
+        ages = base_col - (
+            start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        return a0, hi0, truncated, (wx, wy, wvx, wvy, ages)
+
+    if route_lengths is None:
+        cxm, cym = cam.pos[0], cam.pos[1]
+        route_lengths = lambda qx, qy: jnp.sqrt(
+            (qx - cxm) ** 2 + (qy - cym) ** 2
+        )
 
     # --- dense cone sweep over the swept rows (time-major planes) ---
     sx = jax.lax.dynamic_slice(buf.pos_x, (col0, 0), (a_sw, n))
@@ -430,12 +469,12 @@ def _band_pairs(
     t_cap = buf.capacity
     n = buf.num_particles
     cxm, cym = cam.pos[0], cam.pos[1]
-    if route_lengths is None:
-        route_lengths = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
 
     a0, hi0, truncated, (wx, wy, wvx, wvy, ages) = _cone_band_window(
-        buf, route_lengths, params
+        buf, route_lengths, params, cam=cam
     )
+    if route_lengths is None:
+        route_lengths = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
 
     # segment j: older endpoint = window[:, j] (age a_j), younger = [:, j+1]
     qax, qay = wx[:, :band], wy[:, :band]
@@ -577,14 +616,14 @@ def _view_grid(width, height, cam, k):
     return wc_img, hc_img, pixel_size, x0, y0
 
 
-def _splat_vslot(
+def _splat_keys(
     pairs: PairData, cam, width: int, height: int, params: RenderParams
 ):
-    """Splat compacted pairs into the (view cells + 1 halo) grid and return
-    the per-cell candidate id table: (vslot (hc_img, wc_img, cap) i32 with -1
-    for empty, bin_dropped, cell_too_small, geometry)."""
+    """Composite splat keys for the (view cells + halo) grid: one entry per
+    (pair, splat offset), key = cell * _DQ + quantized distance (nearest-k
+    retention — see _splat_vslot).  Returns
+    (key, val, wc, hc, geom, cell_too_small)."""
     k = params.cell_px
-    cap = params.bin_capacity
     pcap = pairs.pdata.shape[0]
     wc_img, hc_img, pixel_size, x0, y0 = _view_grid(width, height, cam, k)
     wc, hc = wc_img + 2, hc_img + 2  # +1 halo cell each side
@@ -620,7 +659,6 @@ def _splat_vslot(
     # weak #5/#7 — first-k dropped arbitrary candidates).  Quantization is
     # relative to the cell edge `lam`; any monotone map works, exact
     # ordering is not required.
-    _DQ = 64  # distance-quantization levels in the key's low bits
     inv_lam2 = jnp.float32(_DQ) / jnp.maximum(lam * lam, 1e-20)
     keys = []
     for dx, dy in offsets:
@@ -641,6 +679,24 @@ def _splat_vslot(
     val = jnp.broadcast_to(
         jnp.arange(pcap, dtype=jnp.int32)[:, None], (pcap, n_splat)
     ).reshape(-1)
+    # coverage constraint: 3x3 splat needs lam >= reach; 2x2 needs 2*reach
+    min_lam = params.reach * (2.0 if params.splat_cells == 4 else 1.0)
+    cell_too_small = lam < min_lam
+    geom = (wc_img, hc_img, pixel_size, x0, y0)
+    return key, val, wc, hc, geom, cell_too_small
+
+
+def _splat_vslot(
+    pairs: PairData, cam, width: int, height: int, params: RenderParams
+):
+    """Splat compacted pairs into the (view cells + 1 halo) grid and return
+    the per-cell candidate id table: (vslot (hc_img, wc_img, cap) i32 with -1
+    for empty, bin_dropped, cell_too_small, geometry)."""
+    cap = params.bin_capacity
+    key, val, wc, hc, geom, cell_too_small = _splat_keys(
+        pairs, cam, width, height, params
+    )
+    n_vcells = wc * hc
 
     skey, sval = jax.lax.sort_key_val(key, val)
     scell = skey // _DQ  # cell part of the composite key
@@ -665,10 +721,6 @@ def _splat_vslot(
     bin_dropped = jnp.sum(((scell < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
-    # coverage constraint: 3x3 splat needs lam >= reach; 2x2 needs lam >= 2*reach
-    min_lam = params.reach * (2.0 if params.splat_cells == 4 else 1.0)
-    cell_too_small = lam < min_lam
-    geom = (wc_img, hc_img, pixel_size, x0, y0)
     return vslot, bin_dropped, cell_too_small, geom
 
 
@@ -1081,7 +1133,7 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     cxm, cym = cam.pos[0], cam.pos[1]
     route = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
     _a0, hi0, _trunc, (wx, wy, wvx, wvy, ages) = _cone_band_window(
-        buf, route, params
+        buf, None, params, cam=cam
     )
     qax, qay = wx[:, :band], wy[:, :band]
     qbx, qby = wx[:, 1:], wy[:, 1:]

@@ -40,7 +40,8 @@ _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
 def _pixel_kernel(
-    scal_ref,  # SMEM (8,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, pixel_size
+    scal_ref,  # SMEM (9,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, px_size, row_off
+    occ_ref,  # SMEM (hc, wgroups) i32: any candidate in this 128-cell group
     vdat_ref,  # VMEM (10, cap, 128)
     sfpx_ref,  # VMEM (1, k2, 128) or None (x-ray / instantaneous)
     out_ref,  # VMEM (3, 1, k2, 128)
@@ -87,6 +88,37 @@ def _pixel_kernel(
     inv_dt = jnp.float32(1.0 / dt)
     rho2 = jnp.float32(rho * rho)
 
+    if use_rays:
+        blocked = sfpx_ref[0] < (r - 2.0 * jnp.float32(rho))
+        bg = jnp.where(blocked, jnp.float32(shadow), 1.0)
+    else:
+        blocked = None
+        bg = jnp.ones((k2, 128), jnp.float32)
+
+    # empty-group fast path: a 128-cell group with zero candidates (most of
+    # any frame's sky/background bands) skips the whole cap-deep candidate
+    # loop and shading — only the shadow composition runs
+    out_ref[0, 0, :, :] = bg
+    out_ref[1, 0, :, :] = bg
+    out_ref[2, 0, :, :] = bg
+
+    @pl.when(occ_ref[pl.program_id(0), g_id] != 0)
+    def _occupied_group():
+        _shade_group(
+            vdat_ref, out_ref, pxw, pyw, r, t_e, blocked, inv_dt, rho2,
+            t_now, cxm, cym, cvx, cvy,
+            k2=k2, cap=cap, use_rays=use_rays, doppler=doppler,
+            beaming=beaming, doppler_strength=doppler_strength,
+            ambient=ambient, absorbed_dim=absorbed_dim, shadow=shadow,
+        )
+
+
+def _shade_group(
+    vdat_ref, out_ref, pxw, pyw, r, t_e, blocked, inv_dt, rho2,
+    t_now, cxm, cym, cvx, cvy, *,
+    k2, cap, use_rays, doppler, beaming, doppler_strength, ambient,
+    absorbed_dim, shadow,
+):
     min_d = jnp.full((k2, 128), _BIGF, jnp.float32)
     wvx = jnp.zeros((k2, 128), jnp.float32)
     wvy = jnp.zeros((k2, 128), jnp.float32)
@@ -151,7 +183,6 @@ def _pixel_kernel(
     sr, sg, sb = mix(sr, wcr), mix(sg, wcg), mix(sb, wcb)
 
     if use_rays:
-        blocked = sfpx_ref[0] < (r - 2.0 * jnp.float32(rho))
         dim = jnp.float32(absorbed_dim)
         shd = jnp.float32(shadow)
         compose = lambda s: jnp.where(
@@ -214,19 +245,26 @@ def pixel_pass_pallas(
 
     def wrapped(*refs):
         if use_rays:
-            scal_ref, vdat_ref, sfpx_ref, out_ref = refs
+            scal_ref, occ_ref, vdat_ref, sfpx_ref, out_ref = refs
         else:
-            scal_ref, vdat_ref, out_ref = refs
+            scal_ref, occ_ref, vdat_ref, out_ref = refs
             sfpx_ref = None
-        kernel(scal_ref, vdat_ref, sfpx_ref, out_ref)
+        kernel(scal_ref, occ_ref, vdat_ref, sfpx_ref, out_ref)
 
-    def run(scal9, vdat_loc, sfpx_loc):
-        hc_loc = sfpx_loc.shape[0]
+    # per-128-cell-group occupancy (any non-sentinel candidate): the kernel
+    # skips the cap-deep loop for empty groups
+    group_occ = jnp.any(
+        (vdat_t[0] < 1.0e8).reshape(cap, hc, wgroups, 128), axis=(0, 3)
+    ).astype(jnp.int32)
+
+    def run(scal9, occ_loc, vdat_loc, sfpx_loc):
+        hc_loc = occ_loc.shape[0]
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # group occupancy
             pl.BlockSpec((10, cap, 128), lambda r, g: (0, 0, r * wgroups + g)),
         ]
-        operands = [scal9, vdat_loc]
+        operands = [scal9, occ_loc, vdat_loc]
         if use_rays:
             in_specs.append(
                 pl.BlockSpec((1, k2, 128), lambda r, g: (r, 0, g)))
@@ -244,7 +282,7 @@ def pixel_pass_pallas(
 
     if shard is None:
         scal9 = jnp.concatenate([scal, jnp.zeros((1,), jnp.float32)])
-        return run(scal9, vdat_t, sfpx)
+        return run(scal9, group_occ, vdat_t, sfpx)
 
     from jax.sharding import PartitionSpec as P
 
@@ -265,19 +303,20 @@ def pixel_pass_pallas(
         constant_values=2.0e9,
     ).reshape(10, cap, hcp * wcp)
     sfpx_p = jnp.pad(sfpx, ((0, rpad), (0, 0), (0, 0)))
+    occ_p = jnp.pad(group_occ, ((0, rpad), (0, 0)))
 
-    def run_shard(scal, vdat_loc, sfpx_loc):
+    def run_shard(scal, occ_loc, vdat_loc, sfpx_loc):
         row_off = jax.lax.axis_index(axis) * (hcp // d)
         scal9 = jnp.concatenate([scal, row_off[None].astype(jnp.float32)])
-        return run(scal9, vdat_loc, sfpx_loc)
+        return run(scal9, occ_loc, vdat_loc, sfpx_loc)
 
     out = shard_map(
         run_shard,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis), P(axis, None, None)),
+        in_specs=(P(), P(axis, None), P(None, None, axis), P(axis, None, None)),
         out_specs=P(None, axis, None, None),
         check_vma=False,
-    )(scal, vdat_p, sfpx_p)
+    )(scal, occ_p, vdat_p, sfpx_p)
     return out[:, :hc]
 
 

@@ -78,3 +78,4 @@ def test_pallas_kernel_odd_cell_px(small_scene):
     np.testing.assert_allclose(
         np.asarray(img_p), np.asarray(img_x), atol=1e-5
     )
+
