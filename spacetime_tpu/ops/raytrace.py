@@ -87,7 +87,10 @@ class RenderParams:
     # covers radial speeds to ~0.6c — band_truncated in RenderDiag flags overruns
     bin_capacity: int = 64  # candidates per spatial hash cell
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
-    ray_chunk: int = 2048  # pairs per scan chunk in the retina march
+    # pairs per scan chunk in the retina march: bigger chunks amortize the
+    # per-chunk reduce/loop overhead (16 chunks of 2048 cost ~1.1 ms at the
+    # flagship scene vs ~0.4 ms at 8192, traced round 3)
+    ray_chunk: int = 8192
     cell_px: int = 16  # view-cell edge in pixels; k*pixel_size must be >= reach
     # compact valid pairs to this budget before the splat sort when the raw
     # N*band layout is larger (0 = never compact); bounds the binning cost at
@@ -105,8 +108,10 @@ class RenderParams:
     # single most expensive render op at 1080p (~4 ms traced); d=2 quarters
     # it for <= 1 px of angular shadow-edge jitter (the 4096-ray retina
     # itself quantizes edges to ~1.6 px at screen edge).  Ignored unless it
-    # divides cell_px.
-    occlusion_downsample: int = 1
+    # divides cell_px.  Default 2: the engine-vs-headline-bench audit
+    # (round 3) found the per-pixel default cost ~5 ms/frame at 1080p for
+    # sub-retina-resolution gains; ACCURACY.md documents the envelope.
+    occlusion_downsample: int = 2
     # cells each candidate splats into: 9 (3x3 around the center cell —
     # always exact) or 4 (nearest-corner 2x2 — exact iff reach <= cell/2,
     # i.e. a capsule never extends past the adjacent cell; RenderDiag's
@@ -131,8 +136,11 @@ class RenderParams:
     # retina march runs over boundary pairs compacted to this budget —
     # the worldline-meshgen "extrude the boundary" idea of the reference
     # (worldline/mod.rs:37-44) recast as candidate culling.  0 = march all
-    # pairs.  RenderDiag.retina_dropped flags overflow.
-    retina_budget: int = 0
+    # pairs.  RenderDiag.retina_dropped flags overflow, and the engine
+    # doubles the budget on evidence (engine._check_diag) — marching ALL
+    # pairs by default cost ~3 ms/frame at the flagship scene (round-3
+    # engine-vs-bench audit) for surfaces the boundary mask already culls.
+    retina_budget: int = 8192
     doppler: bool = True
     beaming: bool = True
     # (Mesh, axis_name): shard the Pallas pixel pass's cell rows over the

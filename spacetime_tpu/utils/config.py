@@ -130,7 +130,9 @@ def config_flagship_1080p() -> EngineConfig:
                 _blob(5000, (1.05, 0.55), (-0.45, -0.1), RED),
             )
         ),
-        render=RenderParams(num_rays=4096, pair_budget=32768, bin_capacity=48),
+        # bin_capacity 64: measured drop-free at the ladder's cell_px=16
+        # (bench.py runs the same scene/params as the headline row)
+        render=RenderParams(num_rays=4096, pair_budget=32768, bin_capacity=64),
         width=1920,
         height=1080,
         history=1024,

@@ -2,7 +2,13 @@
 testimg4 at the origin with velocity (0.1, 0.1) and testimg5 at (1.2, 0.8)
 with velocity (-0.1, -0.1) (/root/reference/src/twoplusone/mod.rs:86-113),
 loaded through the PNG import path at 1080p retarded render (scene built in
-tools/refdemo.py).  Usage: python tools/bench_116k.py [history]"""
+tools/refdemo.py).  Usage: python tools/bench_116k.py [history] [--points]
+
+--points benches the APPLES-TO-APPLES frame: physics step + worldline push
++ the non-relativistic point renderer — the pipeline the reference actually
+ships (its raytracer is an empty stub, raytrace.glsl:11-21; the shipped
+debug view is point_render_nr.rs).  The retarded default row renders a
+capability the reference does not have."""
 
 import sys
 import time
@@ -19,7 +25,9 @@ from tools import refdemo  # noqa: E402
 
 
 def main():
-    history = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    points = "--points" in sys.argv
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    history = int(pos_args[0]) if pos_args else 1024
     width, height = refdemo.WIDTH, refdemo.HEIGHT
     particles, objects, model, buf, cam, params = refdemo.build(history)
     print(f"# particles: {int(particles.num_active())}, capacity "
@@ -31,10 +39,17 @@ def main():
         t = t + jnp.float32(model.params.h)
         particles, _aux = model.step(particles)
         buf = wl.push_frame(buf, particles, t)
-        img = raytrace.render_retarded(
-            buf, particles.object_index, objects, cam, width, height, params,
-            planar=True, boundary=wl.boundary_mask(particles),
-        )
+        if points:
+            from spacetime_tpu.ops import points_pallas
+
+            img, pdiag = points_pallas.render_points_pallas(
+                particles, objects, cam, width, height, planar=True,
+            )
+        else:
+            img = raytrace.render_retarded(
+                buf, particles.object_index, objects, cam, width, height,
+                params, planar=True, boundary=wl.boundary_mask(particles),
+            )
         return particles, buf, img, t
 
     frame = jax.jit(frame, donate_argnums=(0, 1, 3))
@@ -71,13 +86,23 @@ def main():
     sps = 50 / (time.perf_counter() - t0)
 
     # diagnostics at the final state
-    img2, diag = raytrace.render_retarded_with_diag(
-        b, p.object_index, objects, cam, width, height, params, planar=True)
+    if points:
+        from spacetime_tpu.ops import points_pallas
+
+        _, pdiag = points_pallas.render_points_pallas(
+            p, objects, cam, width, height, planar=True)
+        diag_txt = f"window_truncated={int(pdiag.window_truncated)}"
+    else:
+        img2, diag = raytrace.render_retarded_with_diag(
+            b, p.object_index, objects, cam, width, height, params,
+            planar=True)
+        diag_txt = (
+            f"pairs={int(diag.pairs_used)} dropped={int(diag.bin_dropped)} "
+            f"trunc={int(diag.band_truncated)}"
+        )
     print(
         f"# fused frame: {dt_frame*1e3:.2f} ms ({1/dt_frame:.1f} fps); "
-        f"physics-only: {sps:.0f} steps/s ({1e3/sps:.1f} ms); "
-        f"pairs={int(diag.pairs_used)} dropped={int(diag.bin_dropped)} "
-        f"trunc={int(diag.band_truncated)}",
+        f"physics-only: {sps:.0f} steps/s ({1e3/sps:.1f} ms); " + diag_txt,
         file=sys.stderr,
     )
     rl = roofline.Roofline(*frame_cost, seconds=dt_frame,
