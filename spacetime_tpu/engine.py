@@ -516,8 +516,9 @@ class Engine:
     def _btz_hole(self):
         from .ops import btz as btz_ops
 
-        (hc, hm, hl) = self.config.btz
-        return btz_ops.BTZBlackHole.create(hc, hm, hl)
+        (hc, hm, hl), spin = self.config.btz[:3], self.config.btz[3:]
+        return btz_ops.BTZBlackHole.create(
+            hc, hm, hl, spin[0] if spin else 0.0)
 
     def _defects(self, t=None, cam=None):
         """ConicalDefect tuple from config.defect — a single ((cx,cy),
@@ -706,7 +707,21 @@ class Engine:
                     self.config.render.band + self._band_boost,
                 )
             cap_now = self.config.render.bin_capacity + self._cap_boost
-            if int(diag.bin_dropped) > 0:
+            # nearest-k retention makes a capped bin drop its FARTHEST
+            # candidates (ACCURACY.md): a sub-0.1%-of-pairs drop rate is
+            # far below the retina/downsample quantization envelope, and a
+            # recompile + permanently larger tables for it is a bad trade —
+            # log at debug and move on.  Anything above the tolerance still
+            # adapts exactly as before.
+            dropped = int(diag.bin_dropped)
+            drop_tol = max(1, int(1e-3 * max(int(diag.pairs_used), 1)))
+            if 0 < dropped <= drop_tol:
+                self.log.debug(
+                    "%d far candidates dropped from full bins (<= %d "
+                    "tolerance): within the nearest-k envelope, not adapting",
+                    dropped, drop_tol,
+                )
+            elif dropped > 0:
                 if cap_now < 384:
                     # geometric growth: a 16-step against thousands of drops
                     # would re-fire (and recompile) every diag window —

@@ -81,13 +81,25 @@ class BTZBlackHole:
     center: jax.Array  # (2,) chart position of the hole
     mass: jax.Array  # () M > 0 (horizon r_h = l sqrt(M))
     ads_l: jax.Array  # () AdS curvature radius l
+    # angular momentum J (frame dragging), SLOW-ROTATION model: delays pick
+    # up the first-order term -(J/2) int dphi/f along the travel direction
+    # (closed form, btz_drag_integral); the orbit SHAPE is kept at J = 0 —
+    # exact to O(J^2) by Fermat stationarity of the arrival time under path
+    # variation.  Valid for |J| << M l (extremality at |J| = M l); the
+    # oracle test quantifies the O(J^2) error.  Arrival/emitter bearings
+    # shift at O(J) and are neglected (absorbed by the retina bin width
+    # for the spins this model admits).
+    spin: jax.Array  # () J
 
     @staticmethod
-    def create(center=(0.5, 0.5), mass=0.01, ads_l=4.0) -> "BTZBlackHole":
+    def create(
+        center=(0.5, 0.5), mass=0.01, ads_l=4.0, spin=0.0
+    ) -> "BTZBlackHole":
         return BTZBlackHole(
             center=jnp.asarray(center, jnp.float32),
             mass=jnp.asarray(mass, jnp.float32),
             ads_l=jnp.asarray(ads_l, jnp.float32),
+            spin=jnp.asarray(spin, jnp.float32),
         )
 
     @property
@@ -147,6 +159,85 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
 
     inside = (ra <= r_h) | (rb <= r_h)
     return jnp.where(inside, _BIG, jnp.abs(t))
+
+
+def btz_drag_integral(ra, rb, dphi, mass, ads_l):
+    """int_0^dphi dphi' / f(r(phi')) >= 0 along the SAME closed-form orbit
+    as btz_null_delay — the frame-dragging kernel.  Substituting
+    w = e^{2 mu phi} (dphi' = dw / (2 mu w)) makes the integrand rational:
+    1/f = l^2 u^2/(1 - M l^2 u^2) = (1/M)(w - D)/(D w) with
+    D(w) = -a2 w^2 + a1 w - a0 sharing btz_null_delay's roots w+/-, so
+
+        int dphi/f = (1/(2 mu M)) int_1^W (1/D - 1/w) dw
+                   = (1/(2 mu M)) [ -(1/sq) ln|(w-w+)/(w-w-)| - ln w ]_1^W
+
+    with W = e^{2 mu dphi} (validated against f64 quadrature to 1e-11; the
+    stable co-root w- = 2 a0/(a1 + sq) keeps the f32 error < 2e-4).  A
+    slowly-rotating hole's null delay is t(J) = t(0) + s_travel (J/2) *
+    this (see BTZBlackHole; s_travel handled by callers)."""
+    M, l = mass, ads_l
+    mu = jnp.sqrt(M)
+    ua = 1.0 / jnp.maximum(ra, _EPS)
+    ub = 1.0 / jnp.maximum(rb, _EPS)
+    e_half = jnp.exp(mu * dphi)
+    denom = e_half - 1.0 / e_half
+    A = (ub - ua / e_half) / jnp.maximum(denom, _EPS)
+    B = ua - A
+
+    Ml2 = M * l * l
+    a2 = Ml2 * A * A
+    a1 = 1.0 - 2.0 * A * B * Ml2
+    a0 = Ml2 * B * B
+    disc = jnp.maximum(a1 * a1 - 4.0 * a2 * a0, _EPS)
+    sq = jnp.sqrt(disc)
+    W = e_half * e_half
+
+    safe_a2 = jnp.maximum(a2, _EPS)
+    w_plus = (a1 + sq) / (2.0 * safe_a2)
+    # product-of-roots form: no a1 - sq cancellation (f32-critical)
+    w_minus = 2.0 * a0 / jnp.maximum(a1 + sq, _EPS)
+
+    def logratio(wr):
+        # ln|(W - wr)/(1 - wr)| with clamped operands
+        return jnp.log(
+            jnp.maximum(jnp.abs(W - wr), _EPS)
+            / jnp.maximum(jnp.abs(1.0 - wr), _EPS)
+        )
+
+    core_gen = -(1.0 / sq) * (logratio(w_plus) - logratio(w_minus))
+    # degenerate A ~ 0 (purely decaying orbit): D(w) = a1 w - a0,
+    # int_1^W dw/D = (1/a1) ln|(a1 W - a0)/(a1 - a0)|
+    safe_a1 = jnp.where(jnp.abs(a1) < _EPS, 1.0, a1)
+    core_deg = (1.0 / safe_a1) * jnp.log(
+        jnp.maximum(jnp.abs(safe_a1 * W - a0), _EPS)
+        / jnp.maximum(jnp.abs(safe_a1 - a0), _EPS)
+    )
+    core = jnp.where(a2 < 1e-9, core_deg, core_gen)
+    # ln W = 2 mu dphi exactly — use that, not log(W), for f32 accuracy
+    out = core / (2.0 * mu * M) - dphi / M
+
+    # near-radial: the sweep is tiny and f is bounded away from 0 off the
+    # horizon -> trapezoid of the endpoints (exact as dphi -> 0)
+    fa = jnp.maximum(ra * ra / (l * l) - M, _EPS)
+    fb = jnp.maximum(rb * rb / (l * l) - M, _EPS)
+    i_rad = dphi * 0.5 * (1.0 / fa + 1.0 / fb)
+    out = jnp.where(dphi < 3e-3, i_rad, out)
+
+    r_h = l * mu
+    inside = (ra <= r_h) | (rb <= r_h)
+    return jnp.where(inside, 0.0, jnp.maximum(out, 0.0))
+
+
+def _spin_delay(base, ra, rb, dphi, s, hole: BTZBlackHole):
+    """Route delay with the slow-rotation frame-dragging term.  `s` is the
+    _orbit_setup travel sense of the camera->emitter sweep; light travels
+    emitter->camera, so its signed chart-angle change is -s*dphi and
+    t(J) = t(0) - (J/2)(-s) I = t(0) + s (J/2) I.  Co-rotating light
+    (travel sense matching sign(J)) arrives EARLIER."""
+    drag = hole.spin * 0.5 * s * btz_drag_integral(
+        ra, rb, dphi, hole.mass, hole.ads_l
+    )
+    return jnp.where(base >= _BIG, base, jnp.maximum(base + drag, 0.0))
 
 
 def _polar_separation(qx, qy, cx, cy, hole: BTZBlackHole):
@@ -233,6 +324,10 @@ def route_optics_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     bearing = jnp.arctan2(vy, vx)
     delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
                            hole.ads_l)
+    # NOTE endpoint order: the orbit is parametrized camera (phi=0) ->
+    # emitter (dphi); the drag integral is endpoint-symmetric like the
+    # delay, the SIGN carries the physics (_spin_delay docstring)
+    delay = _spin_delay(delay, ob["rq"], ob["rc"], ob["dphi"], ob["s"], hole)
     tx, ty = _tangent_at(ob, ob["dphi"])
     inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
     return bearing, delay, -tx * inv, -ty * inv
@@ -255,7 +350,19 @@ def sample_orbit(qx, qy, cx, cy, hole: BTZBlackHole, route: int, n: int):
     # delay from camera to each sample: same closed form, partial upper limit
     delays = btz_null_delay(r, ob["rc"], jnp.maximum(phis, 1e-5), hole.mass,
                             hole.ads_l)
+    delays = _spin_delay(
+        delays, r, ob["rc"], jnp.maximum(phis, 1e-5), ob["s"], hole
+    )
     return xs, ys, delays
+
+
+def _travel_sense(qx, qy, cx, cy, hole: BTZBlackHole):
+    """Sign of the wrapped angle phi_q - phi_c (route 0's camera->emitter
+    sweep sense; route 1 is its negation) via the cross product — matches
+    _orbit_setup's sgn without the arctan2s."""
+    hx, hy = hole.center[0], hole.center[1]
+    cross = (cx - hx) * (qy - hy) - (cy - hy) * (qx - hx)
+    return jnp.where(cross >= 0, 1.0, -1.0)
 
 
 def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
@@ -265,14 +372,26 @@ def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     evaluation per probe."""
     rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
     sep = jnp.maximum(d_phi, 1e-6) if route == 0 else 2.0 * jnp.pi - d_phi
-    return btz_null_delay(rq, rc, sep, hole.mass, hole.ads_l)
+    s = _travel_sense(qx, qy, cx, cy, hole)
+    if route != 0:
+        s = -s
+    base = btz_null_delay(rq, rc, sep, hole.mass, hole.ads_l)
+    return _spin_delay(base, rq, rc, sep, s, hole)
 
 
 def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
     """Both routes' delays (direct |dphi|, around-the-back 2 pi - |dphi|)."""
     rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
-    t1 = btz_null_delay(rq, rc, jnp.maximum(d_phi, 1e-6), hole.mass, hole.ads_l)
-    t2 = btz_null_delay(rq, rc, 2.0 * jnp.pi - d_phi, hole.mass, hole.ads_l)
+    s = _travel_sense(qx, qy, cx, cy, hole)
+    d1 = jnp.maximum(d_phi, 1e-6)
+    d2 = 2.0 * jnp.pi - d_phi
+    t1 = _spin_delay(
+        btz_null_delay(rq, rc, d1, hole.mass, hole.ads_l), rq, rc, d1, s, hole
+    )
+    t2 = _spin_delay(
+        btz_null_delay(rq, rc, d2, hole.mass, hole.ads_l), rq, rc, d2, -s,
+        hole,
+    )
     return t1, t2
 
 

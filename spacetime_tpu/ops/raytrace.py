@@ -1284,7 +1284,15 @@ def _render_retarded_impl(
         pairs_raw, band_truncated = _band_pairs(
             buf, obj_index, objects, cam, t_now, width, height, params
         )
-        if use_rays and boundary is not None and params.retina_budget > 0:
+        if (
+            use_rays
+            and boundary is not None
+            and 0 < params.retina_budget < pairs_raw.pdata.shape[0]
+        ):
+            # (when the raw layout already fits the budget, fall through to
+            # the plain path: the two-segment sort+gather over (N*band) rows
+            # would COST more than the retina march it trims — measured as a
+            # small-config regression in the round-3 config table)
             # boundary pairs compacted to the buffer FRONT; the occlusion
             # retina is then a static prefix slice of the same buffer
             rmask = jnp.repeat(boundary, params.band)

@@ -60,8 +60,10 @@ class EngineConfig:
     # light cone (geometry changes propagate at c; engine._defects) instead
     # of quasi-statically at t_now
     defect_retarded: bool = False
-    # BTZ black hole for render_mode='btz': ((cx, cy), mass, ads_l)
-    btz: Optional[Tuple[Tuple[float, float], float, float]] = None
+    # BTZ black hole for render_mode='btz': ((cx, cy), mass, ads_l) or
+    # ((cx, cy), mass, ads_l, spin) — spin J adds slow-rotation frame
+    # dragging (ops/btz.py BTZBlackHole; valid for |J| << M l)
+    btz: Optional[Tuple] = None
     # split-jit debug mode: run step / worldline push / render as separate
     # dispatches with device syncs so StatsWindow reports true per-stage ms
     # (the analog of the reference's GPU timestamp stages, querybank.rs:14-47)
@@ -291,9 +293,20 @@ def config_btz_hole() -> EngineConfig:
     )
 
 
+def config_btz_spinning() -> EngineConfig:
+    """Rotating BTZ (slow-rotation frame dragging): co-rotating images
+    arrive earlier than counter-rotating ones, so the double images of the
+    same emitter split asymmetrically in time.  J = 0.004 is ~30% of the
+    extremal J = M l = 0.0135 — well inside the O(J^2) model envelope
+    (ops/btz.py BTZBlackHole; oracle-tested in tests/test_btz.py)."""
+    return dataclasses.replace(
+        config_btz_hole(), btz=((0.5, 0.5), 0.03, 0.45, 0.004))
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
     "btz_hole": config_btz_hole,
+    "btz_spinning": config_btz_spinning,
     "png_demo": config_png_demo,
     "two_body_collision": config_two_body_collision,
     "flagship_1080p": config_flagship_1080p,

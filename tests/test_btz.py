@@ -232,3 +232,255 @@ def test_emitter_direction_matches_orbit_far_tangent():
             norm = np.hypot(tx, ty)
             dot = (float(nex) * tx + float(ney) * ty) / norm
             assert dot > 0.999, (q, route, dot)
+
+
+# ---------------------------------------------------------------------------
+# Rotating BTZ (frame dragging), slow-rotation model
+
+
+def _drag_quadrature(ra, rb, dphi, M, l, n=200_000):
+    """Independent float64 check of int_0^dphi dphi'/f(r(phi')) along the
+    BVP orbit (same parametrization as _delay_quadrature)."""
+    mu = np.sqrt(M)
+    ua, ub = 1.0 / ra, 1.0 / rb
+    e = np.exp(mu * dphi)
+    A = (ub - ua / e) / (e - 1.0 / e)
+    B = ua - A
+    phi = np.linspace(0.0, dphi, n)
+    u = A * np.exp(mu * phi) + B * np.exp(-mu * phi)
+    assert np.all(u > 0)
+    f = 1.0 / (l * l * u * u) * (1.0 - M * l * l * u * u)
+    assert np.all(f > 0), "orbit dips inside the horizon"
+    return float(np.trapezoid(1.0 / f, phi))
+
+
+def test_drag_integral_matches_quadrature():
+    rng = np.random.default_rng(11)
+    M, l = 0.01, 4.0
+    r_h = l * np.sqrt(M)
+    for _ in range(30):
+        ra = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        rb = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        dphi = float(rng.uniform(0.1, 2.0 * np.pi - 0.1))
+        want = _drag_quadrature(ra, rb, dphi, M, l)
+        got = float(btz.btz_drag_integral(
+            jnp.float32(ra), jnp.float32(rb), jnp.float32(dphi),
+            jnp.float32(M), jnp.float32(l)))
+        assert want > 0
+        np.testing.assert_allclose(got, want, rtol=3e-3), (ra, rb, dphi)
+
+
+def test_drag_integral_near_radial_and_interior():
+    M, l = 0.03, 0.45
+    for dphi in (1e-6, 1e-4, 1e-3):
+        got = float(btz.btz_drag_integral(0.2, 0.42, dphi, M, l))
+        assert np.isfinite(got) and got >= 0
+    # near-radial limit ~ dphi * mean(1/f): check against quadrature scale
+    want = _drag_quadrature(0.2, 0.42, 1e-3, M, l)
+    got = float(btz.btz_drag_integral(0.2, 0.42, 1e-3, M, l))
+    np.testing.assert_allclose(got, want, rtol=0.2)
+    # interior endpoint: integral masked to 0 (delay is BIG anyway)
+    r_h = l * np.sqrt(M)
+    assert float(btz.btz_drag_integral(0.5 * r_h, 3 * r_h, 1.0, M, l)) == 0.0
+
+
+def test_spin_sign_and_antisymmetry():
+    """For J > 0 (counterclockwise spin), light whose travel is CLOCKWISE
+    (counter-rotating) is delayed MORE; the two routes shift oppositely;
+    flipping J flips both shifts exactly (the model is linear in J)."""
+    hole0 = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.03, ads_l=0.45)
+    holep = btz.BTZBlackHole.create(
+        center=(0.0, 0.0), mass=0.03, ads_l=0.45, spin=0.004)
+    holem = btz.BTZBlackHole.create(
+        center=(0.0, 0.0), mass=0.03, ads_l=0.45, spin=-0.004)
+    cx, cy = 0.3, 0.0  # camera at phi = 0
+    qx, qy = 0.0, 0.25  # emitter at phi = +pi/2 (counterclockwise of cam)
+    t1_0, t2_0 = [float(v) for v in btz.route_delays_xy(
+        qx, qy, cx, cy, hole0)]
+    t1_p, t2_p = [float(v) for v in btz.route_delays_xy(
+        qx, qy, cx, cy, holep)]
+    t1_m, t2_m = [float(v) for v in btz.route_delays_xy(
+        qx, qy, cx, cy, holem)]
+    # route 0: emitter is +pi/2 AHEAD of the camera, so the light travels
+    # clockwise (against J > 0) -> delayed more
+    assert t1_p > t1_0 > t1_m, (t1_m, t1_0, t1_p)
+    # route 1 winds the other way -> helped by the spin
+    assert t2_p < t2_0 < t2_m, (t2_m, t2_0, t2_p)
+    # antisymmetry in J
+    np.testing.assert_allclose(t1_p - t1_0, t1_0 - t1_m, rtol=1e-3)
+    np.testing.assert_allclose(t2_p - t2_0, t2_0 - t2_m, rtol=1e-3)
+    # route_optics_xy (renderer path) agrees with route_delays_xy
+    for route, want in ((0, t1_p), (1, t2_p)):
+        _, d, _, _ = btz.route_optics_xy(
+            jnp.float32(qx), jnp.float32(qy), jnp.float32(cx),
+            jnp.float32(cy), holep, route)
+        np.testing.assert_allclose(float(d), want, rtol=1e-5)
+
+
+def _exact_rotating_delay(rc, rq, dphi_signed, M, l, J, n_steps=6000):
+    """EXACT rotating-BTZ null-geodesic oracle: RK4 Hamiltonian integration
+    of the full metric N^2 = r^2/l^2 - M + J^2/(4 r^2), N^phi = -J/(2 r^2),
+    shot from (rc, phi=0) toward (rq, dphi_signed), bisecting the angular
+    momentum L around the static solution's L/E.  Returns the coordinate
+    time of the CAMERA->EMITTER traversal: by stationarity-reversal this is
+    the physical emitter->camera delay of the hole with spin -J."""
+    mu = np.sqrt(M)
+
+    def nsq(r):
+        return r * r / (l * l) - M + J * J / (4.0 * r * r)
+
+    def nphi(r):
+        return -J / (2.0 * r * r)
+
+    E = 1.0
+
+    def hamil(r, pr, L):
+        w = E + nphi(r) * L
+        return 0.5 * (-w * w / nsq(r) + L * L / (r * r) + nsq(r) * pr * pr)
+
+    def rhs(state, L):
+        t, r, phi, pr = state
+        w = E + nphi(r) * L
+        tdot = w / nsq(r)
+        phidot = L / (r * r) - nphi(r) * tdot
+        rdot = nsq(r) * pr
+        dr = 1e-6 * max(r, 1e-3)
+        dH = (hamil(r + dr, pr, L) - hamil(r - dr, pr, L)) / (2 * dr)
+        return np.array([tdot, rdot, phidot, -dH])
+
+    # static-orbit warm start: L0/E and initial radial direction
+    ua, ub = 1.0 / rc, 1.0 / rq
+    adphi = abs(dphi_signed)
+    e = np.exp(mu * adphi)
+    A = (ub - ua / e) / (e - 1.0 / e)
+    B = ua - A
+    L0 = np.sign(dphi_signed) / np.sqrt(1.0 / l**2 - 4.0 * A * B * M)
+    sigma = -np.sign(A - B) if abs(A - B) > 1e-15 else 1.0
+
+    def shoot(L):
+        """Integrate to the target angle.  r_end conventions for the
+        bisection: +inf when the ray cannot launch (pr^2 < 0, |L| above the
+        camera-radius cap) — the monotone limit of 'stays far out'; 0.0
+        when it falls to the horizon before reaching the target angle."""
+        w0 = E + nphi(rc) * L
+        pr2 = (w0 * w0 / nsq(rc) - L * L / (rc * rc)) / nsq(rc)
+        if pr2 < 0:
+            return np.inf, None
+        state = np.array([0.0, rc, 0.0, sigma * np.sqrt(pr2)])
+        target = abs(dphi_signed)
+        # affine step sized so phi advances ~target/n_steps initially
+        phidot0 = abs(L) / (rc * rc) - nphi(rc) * w0 / nsq(rc) * np.sign(L)
+        dlam = target / n_steps / max(abs(phidot0), 1e-9)
+        prev = state.copy()
+        for _ in range(50 * n_steps):
+            k1 = rhs(state, L)
+            k2 = rhs(state + 0.5 * dlam * k1, L)
+            k3 = rhs(state + 0.5 * dlam * k2, L)
+            k4 = rhs(state + dlam * k3, L)
+            prev = state.copy()
+            state = state + (dlam / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            if state[1] <= l * mu * 1.01:
+                return 0.0, None  # fell toward the horizon
+            if abs(state[2]) >= target:
+                # linear interpolation to the crossing
+                f = (target - abs(prev[2])) / (abs(state[2]) - abs(prev[2]))
+                r_end = prev[1] + f * (state[1] - prev[1])
+                t_end = prev[0] + f * (state[0] - prev[0])
+                return r_end, t_end
+        return 0.0, None
+
+    # bracket L around L0 so that r_end straddles rq; J is a small
+    # perturbation, so expand geometrically from the static solution
+    # (larger |L| -> orbit stays farther out -> r_end larger)
+    sgn = np.sign(L0)
+    los = his = abs(L0)
+    rlo = rhi = shoot(sgn * los)[0]
+    for _ in range(40):
+        if rlo < rq:
+            break
+        los *= 0.97
+        rlo = shoot(sgn * los)[0]
+    for _ in range(40):
+        if rhi > rq:
+            break
+        his *= 1.03
+        rhi = shoot(sgn * his)[0]
+    assert rlo < rq < rhi, (rlo, rhi, rq)
+    t_end = None
+    for _ in range(48):
+        mid = 0.5 * (los + his)
+        rm, tm = shoot(sgn * mid)
+        if rm < rq:
+            los = mid
+        else:
+            his = mid
+        if tm is not None:
+            t_end = tm  # Fermat stationarity: t error is O(L error^2)
+    assert t_end is not None, "oracle never reached the target angle"
+    return t_end
+
+
+def test_spin_matches_exact_geodesic_oracle():
+    """First-order drag delay vs the EXACT rotating-metric geodesic: the
+    residual must be O(J^2) (quartic ratio when J halves) and much smaller
+    than the drag term itself."""
+    M, l = 0.03, 0.45
+    rc, rq, dphi_signed = 0.30, 0.22, 1.1  # emitter counterclockwise of cam
+    # closed-form pieces (f64 quadrature-validated elsewhere)
+    base = float(btz.btz_null_delay(rq, rc, abs(dphi_signed), M, l))
+
+    def model_delay(J):
+        # camera->emitter sweep sense s = sign(dphi_signed); oracle shoots
+        # camera->emitter in a hole of spin J == physical delay at spin -J:
+        # compare against the model at spin -J.
+        hole = btz.BTZBlackHole.create(
+            center=(0.0, 0.0), mass=M, ads_l=l, spin=-J)
+        # emitter at angle dphi_signed from camera (camera on +x axis)
+        cx, cy = rc, 0.0
+        qx = rq * np.cos(dphi_signed)
+        qy = rq * np.sin(dphi_signed)
+        t1, _ = btz.route_delays_xy(qx, qy, cx, cy, hole)
+        return float(t1)
+
+    errs = {}
+    for J in (0.004, 0.002):
+        exact = _exact_rotating_delay(rc, rq, dphi_signed, M, l, J)
+        model = model_delay(J)
+        drag = model - base
+        errs[J] = abs(model - exact)
+        # the drag term is real and the model captures it
+        assert abs(drag) > 5 * errs[J], (J, drag, errs[J])
+    # O(J^2): halving J should shrink the residual ~4x (loose bounds: the
+    # oracle has its own integration error)
+    ratio = errs[0.004] / max(errs[0.002], 1e-12)
+    assert ratio > 2.0, errs
+
+
+def test_spin_render_smoke():
+    """The btz renderer accepts a spinning hole and the image differs from
+    the non-spinning one (double images shift by the route-asymmetric
+    delay)."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.3), (0.0, 0.4))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    particles, objects = sb.build(capacity=256)
+    buf = wl.create(256, particles.capacity)
+    p0 = particles.pos
+    for k in range(256):
+        t = k * H
+        buf = wl.push_frame(
+            buf, dataclasses.replace(particles, pos=p0 + particles.vel * t),
+            time=t)
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
+    params = dataclasses.replace(
+        raytrace.RenderParams(dt=H, opaque=False),
+        cell_px=raytrace.auto_cell_px(
+            raytrace.RenderParams(dt=H, opaque=False), 96, 96, 1.4))
+    hole0 = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    holes = btz.BTZBlackHole.create(
+        center=(0.0, 0.0), mass=0.02, ads_l=0.4, spin=0.003)
+    a = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole0, 96, 96, params))
+    b = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, holes, 96, 96, params))
+    assert np.any(np.abs(a - b) > 0.05)

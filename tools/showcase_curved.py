@@ -37,6 +37,10 @@ def main():
     # diverges and the frame is empty
     run("btz_hole", 140, "assets/showcase_btz_hole.png",
         cam_pos=(0.5, 0.15), cam_zoom=1.6)
+    # rotating BTZ: same scene, frame dragging splits the double images
+    # asymmetrically (co-rotating route arrives earlier)
+    run("btz_spinning", 140, "assets/showcase_btz_spinning.png",
+        cam_pos=(0.5, 0.15), cam_zoom=1.6)
 
 
 if __name__ == "__main__":
