@@ -161,6 +161,7 @@ class Engine:
         self._cap_boost = 0
         self._pair_boost = 0  # pair_budget doublings (curved routes overflow)
         self._retina_boost = 0  # retina_budget doublings (boundary overflow)
+        self._entry_boost = 0  # entry_budget doublings (splat-slice overflow)
         # Prime the FULL history with inertially-extrapolated past states (the
         # reference's analog is its pre-frame-0 warm-up, main.rs:137-153;
         # without this, retarded visibility would ramp in over `history`
@@ -442,6 +443,10 @@ class Engine:
         if self._retina_boost and out.retina_budget > 0:
             out = dataclasses.replace(
                 out, retina_budget=out.retina_budget << self._retina_boost
+            )
+        if self._entry_boost and out.entry_budget > 0:
+            out = dataclasses.replace(
+                out, entry_budget=out.entry_budget << self._entry_boost
             )
         # view-derived sweep bound: light reaching the (camera-centered)
         # view rect comes from within corner-distance/h ticks; quantize to
@@ -781,6 +786,21 @@ class Engine:
                     self.log.warning(
                         "%d boundary pairs beyond retina_budget: occlusion "
                         "may miss surfaces", int(rd),
+                    )
+            ed = getattr(diag, "entry_dropped", None)
+            if ed is not None and int(ed) > 0:
+                eb = self.config.render.entry_budget
+                if eb > 0 and self._entry_boost < 4:
+                    self._entry_boost += 1
+                    self.log.warning(
+                        "%d valid splat entries beyond entry_budget: raising "
+                        "it to %d (recompile)", int(ed),
+                        eb << self._entry_boost,
+                    )
+                else:
+                    self.log.warning(
+                        "%d valid splat entries beyond entry_budget: whole "
+                        "view cells may be missing", int(ed),
                     )
 
     def run(

@@ -508,7 +508,7 @@ def _render_btz_impl(
     # PRE-budget count so Engine._check_diag warns/adapts on overflow
     # (ADVICE r2: this drop used to be silent)
     pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
-    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
+    tables, bin_dropped, entry_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
@@ -518,6 +518,7 @@ def _render_btz_impl(
         bin_dropped=bin_dropped,
         cell_too_small=cell_too_small,
         retina_dropped=None,
+        entry_dropped=entry_dropped,
     )
 
     n_rays = params.num_rays

@@ -233,7 +233,7 @@ def _render_conical_impl(
     # (ADVICE r2: the overflow used to be silent)
     pairs = _compact_pairs_to_budget(pairs, params.pair_budget)
 
-    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
+    tables, bin_dropped, entry_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _gx, _gy = geom
@@ -243,6 +243,7 @@ def _render_conical_impl(
         bin_dropped=bin_dropped,
         cell_too_small=cell_too_small,
         retina_dropped=None,
+        entry_dropped=entry_dropped,
     )
 
     # --- per-route occlusion retinas (opaque mode) ---

@@ -96,6 +96,15 @@ class RenderParams:
     # N*band layout is larger (0 = never compact); bounds the binning cost at
     # large particle counts (reference demo scale: 686k slots -> 131k)
     pair_budget: int = 131072
+    # static cap on SORTED splat entries kept for rank/scatter binning
+    # (0 = all pair_budget * splat_cells entries).  The bin scatter is the
+    # single largest render op at reference-demo scale (2.4 ms traced for
+    # 524k entries of which only ~229k were valid): a prefix slice of the
+    # sorted entries halves it, because invalid keys sort to the END.
+    # Overflow (valid entries beyond the budget) drops whole high-index
+    # cells — spatially coherent image loss — so RenderDiag.entry_dropped
+    # flags it and the engine doubles the budget on evidence.
+    entry_budget: int = 0
     cells_per_block: int = 512  # view cells per lax.map block (bounds HBM)
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
@@ -172,6 +181,7 @@ class RenderDiag(NamedTuple):
     bin_dropped: jax.Array  # splat entries beyond bin_capacity
     cell_too_small: jax.Array  # bool: cell_px violates the coverage constraint
     retina_dropped: object = None  # boundary pairs beyond retina_budget
+    entry_dropped: object = None  # valid splat entries beyond entry_budget
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +717,18 @@ def _splat_vslot(
     n_vcells = wc * hc
 
     skey, sval = jax.lax.sort_key_val(key, val)
+    entry_dropped = jnp.int32(0)
+    if 0 < params.entry_budget < skey.shape[0]:
+        # invalid keys (= n_vcells * _DQ sentinel) sort to the END, so the
+        # prefix holds every valid entry as long as their count fits the
+        # budget; the rank cummax + id scatter then run on the (much)
+        # smaller slice.  Overflow loses the HIGHEST-key cells (bottom image
+        # rows) — entry_dropped flags it for the engine to grow the budget.
+        eb = params.entry_budget
+        n_valid = jnp.sum((key < n_vcells * _DQ).astype(jnp.int32))
+        entry_dropped = jnp.maximum(n_valid - eb, 0)
+        skey = jax.lax.slice_in_dim(skey, 0, eb, axis=0)
+        sval = jax.lax.slice_in_dim(sval, 0, eb, axis=0)
     scell = skey // _DQ  # cell part of the composite key
     n_entries = skey.shape[0]
     # rank within each sorted CELL run via segmented cummax (no scatter-min +
@@ -729,16 +751,16 @@ def _splat_vslot(
     bin_dropped = jnp.sum(((scell < n_vcells) & (rank >= cap)).astype(jnp.int32))
 
     vslot = vslot[:-1].reshape(hc, wc, cap)[1:-1, 1:-1]  # interior = image cells
-    return vslot, bin_dropped, cell_too_small, geom
+    return vslot, bin_dropped, entry_dropped, cell_too_small, geom
 
 
 def _build_view_tables(
     pairs: PairData, cam, width: int, height: int, params: RenderParams
 ):
     """XLA block-map layout: densify the splat by one row gather of pair data.
-    Returns (ViewTables, bin_dropped, cell_too_small, geometry)."""
+    Returns (ViewTables, bin_dropped, entry_dropped, cell_too_small, geometry)."""
     cap = params.bin_capacity
-    vslot, bin_dropped, cell_too_small, geom = _splat_vslot(
+    vslot, bin_dropped, entry_dropped, cell_too_small, geom = _splat_vslot(
         pairs, cam, width, height, params
     )
     wc_img, hc_img = geom[0], geom[1]
@@ -753,7 +775,7 @@ def _build_view_tables(
     pad = n_blocks * cb - n_img_cells
     vdat = jnp.pad(vdat, ((0, pad), (0, 0), (0, 0)))
     vok = jnp.pad(vok, ((0, pad), (0, 0)))
-    return ViewTables(vdat=vdat, vok=vok, n_img_cells=n_img_cells), bin_dropped, cell_too_small, geom
+    return ViewTables(vdat=vdat, vok=vok, n_img_cells=n_img_cells), bin_dropped, entry_dropped, cell_too_small, geom
 
 
 def _vdat_cell_major(pairs: PairData, vslot, wc_img: int, hc_img: int, cap: int):
@@ -1209,13 +1231,13 @@ def _pixel_pass_pallas_path(
 ):
     """Fused Pallas pixel pass: splat -> cell-major candidate planes ->
     one kernel for occupancy/winner/shading/occlusion/composition.
-    Returns (image, bin_dropped, cell_too_small)."""
+    Returns (image, bin_dropped, entry_dropped, cell_too_small)."""
     from . import render_pallas as rp
 
     k = params.cell_px
     k2 = k * k
     cap = params.bin_capacity
-    vslot, bin_dropped, cell_too_small, geom = _splat_vslot(
+    vslot, bin_dropped, entry_dropped, cell_too_small, geom = _splat_vslot(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, pixel_size, x0, y0 = geom
@@ -1261,7 +1283,7 @@ def _pixel_pass_pallas_path(
         interpret=interpret, shard=params.shard,
     )
     img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
-    return img, bin_dropped, cell_too_small
+    return img, bin_dropped, entry_dropped, cell_too_small
 
 
 def _render_retarded_impl(
@@ -1317,7 +1339,7 @@ def _render_retarded_impl(
 
     backend, interpret = _resolve_backend(params)
     if backend == "pallas":
-        img, bin_dropped, cell_too_small = _pixel_pass_pallas_path(
+        img, bin_dropped, entry_dropped, cell_too_small = _pixel_pass_pallas_path(
             pairs, rpairs, cam, t_now, width, height, params, use_rays,
             planar, interpret,
         )
@@ -1327,10 +1349,11 @@ def _render_retarded_impl(
             bin_dropped=bin_dropped,
             cell_too_small=cell_too_small,
             retina_dropped=retina_dropped,
+            entry_dropped=entry_dropped,
         )
         return img, diag
 
-    tables, bin_dropped, cell_too_small, geom = _build_view_tables(
+    tables, bin_dropped, entry_dropped, cell_too_small, geom = _build_view_tables(
         pairs, cam, width, height, params
     )
     wc_img, hc_img, _ps, _x0, _y0 = geom
@@ -1400,6 +1423,7 @@ def _render_retarded_impl(
         bin_dropped=bin_dropped,
         cell_too_small=cell_too_small,
         retina_dropped=retina_dropped,
+        entry_dropped=entry_dropped,
     )
     return img, diag
 

@@ -323,7 +323,7 @@ def test_bin_overflow_keeps_nearest_candidates():
         pair_valid=jnp.ones((n,), bool),
         n_pairs=jnp.int32(n),
     )
-    vslot, dropped, _small, geom = raytrace._splat_vslot(
+    vslot, dropped, _edrop, _small, geom = raytrace._splat_vslot(
         pairs, cam, width, height, params
     )
     assert int(dropped) > 0
@@ -348,3 +348,34 @@ def test_bin_overflow_keeps_nearest_candidates():
             dropped_ids = [i for i in range(n) if in_cell[i] and i not in kept]
             if dropped_ids:
                 assert max(d[list(kept)]) <= min(d[dropped_ids]) + lam * 0.2
+
+
+def test_entry_budget_slice_preserves_image():
+    """A sorted-entry prefix slice covering all valid splat entries must not
+    change the render (the bin scatter is the top render op at reference
+    scale; refdemo.py opts in).  An undersized budget must COUNT the
+    overflow in RenderDiag.entry_dropped."""
+    buf, particles, objects = _drifting_blob_buffer(
+        4, offset=(0.15, 0.05), vel=(0.2, -0.1), n_ticks=64,
+        extra=scene.disc_softbody(3, 1, (-0.1, -0.15), (0.1, 0.25)),
+    )
+    cam = Camera.create(pos=(0.0, 0.0), zoom=0.7)
+    p0 = fitted(SMALL, 72, 72, 0.7)
+    a, diag = raytrace.render_retarded_with_diag(
+        buf, particles.object_index, objects, cam, 72, 72, p0
+    )
+    n_valid = int(diag.pairs_used)
+    assert n_valid > 16
+    # generous budget: image identical, nothing dropped
+    p_fit = dataclasses.replace(p0, entry_budget=9 * n_valid + 128)
+    b, diag_fit = raytrace.render_retarded_with_diag(
+        buf, particles.object_index, objects, cam, 72, 72, p_fit
+    )
+    assert int(diag_fit.entry_dropped) == 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # starved budget: overflow counted (adaptation evidence), never silent
+    p_tiny = dataclasses.replace(p0, entry_budget=128)
+    _, diag_tiny = raytrace.render_retarded_with_diag(
+        buf, particles.object_index, objects, cam, 72, 72, p_tiny
+    )
+    assert int(diag_tiny.entry_dropped) > 0

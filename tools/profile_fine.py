@@ -107,7 +107,7 @@ def main():
     @jax.jit
     def tables_fn(pdata, pvalid, cam):
         pr = rt.PairData(pdata=pdata, pair_valid=pvalid, n_pairs=jnp.int32(0))
-        tables, dropped, _s, _g = rt._build_view_tables(pr, cam, width, height, params)
+        tables, dropped, _ed, _s, _g = rt._build_view_tables(pr, cam, width, height, params)
         return tables.vdat, tables.vok
 
     @jax.jit
@@ -116,7 +116,7 @@ def main():
         return rt._retina(pr, cam, tn, params)
 
     # --- pixel pass with fixed tables ---
-    tables0, _d, _s, geom = jax.jit(
+    tables0, _d, _ed, _s, geom = jax.jit(
         lambda pdata, pvalid, cam: rt._build_view_tables(
             rt.PairData(pdata=pdata, pair_valid=pvalid, n_pairs=jnp.int32(0)),
             cam, width, height, params)

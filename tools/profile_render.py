@@ -79,7 +79,7 @@ def main():
         pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
-        tables, dropped, _small, geom = rt._build_view_tables(
+        tables, dropped, _ed, _small, geom = rt._build_view_tables(
             pairs, cam, width, height, params)
         return tables.vdat, tables.vok
 
@@ -89,7 +89,7 @@ def main():
         pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
-        tables, dropped, _small, geom = rt._build_view_tables(
+        tables, dropped, _ed, _small, geom = rt._build_view_tables(
             pairs, cam, width, height, params)
         s_first = rt._retina(pairs, cam, t_now, params)
         return tables.vdat, s_first

@@ -61,8 +61,12 @@ def render_params(h):
     # band_truncated diag guards the assumption); splat_cells=4 is exact here
     # (reach 4.9 px <= cell/2 = 8 px at zoom 2.0).  max_age: view corner 230
     # ticks + band + 8 = 242, quantized up to 128 (the engine's own formula).
+    # entry_budget: 228.8k valid splat entries measured at full history
+    # (probe, round 3) of the 524k capacity — 262144 slices the bin scatter
+    # (the top render op, 2.4 ms traced) nearly in half with 15% headroom;
+    # RenderDiag.entry_dropped guards the assumption.
     return raytrace.RenderParams(
-        dt=h, num_rays=4096, pair_budget=131072,
+        dt=h, num_rays=4096, pair_budget=131072, entry_budget=262144,
         bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
         band=4, splat_cells=4, retina_budget=16384, max_age=256,
     )
