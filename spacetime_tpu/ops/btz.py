@@ -25,9 +25,16 @@ closed form (no numerical ray marching):
     (the analytic continuation's horizon touchpoints, always outside the
     integration range).  (E/L)^2 = 1/l^2 - 4ABM is positive for every
     exterior-connecting orbit.
-  * ROUTES.  As on the cone, two routes per pixel: angular separations
-    |dphi| and 2 pi - |dphi|.  Higher windings (and AdS boundary-reflected
-    rays) are neglected — each adds a strictly longer delay.
+  * ROUTES.  As on the cone, two direct routes per pixel: angular
+    separations |dphi| and 2 pi - |dphi|.  With params.btz_reflections,
+    two MORE routes reflect once off the AdS conformal boundary (reached
+    in finite coordinate time; Dirichlet wall, the standard AdS boundary
+    condition): since u'' = M u is linear and odd in u, the reflected
+    connecting orbit is the analytic continuation with the emitter
+    endpoint NEGATED in u — same 2x2 solve, same closed-form delay/drag
+    integrals (every integrand is even in u; _null_delay_u).  Higher
+    windings and multi-bounce routes are neglected — each adds a strictly
+    longer delay.
 
 Modeling limitations (documented):
   * Opaque occlusion runs along the CURVED routes via a 1D retina over the
@@ -111,10 +118,37 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
     """Coordinate-time delay of the null geodesic from (ra, 0) to
     (rb, dphi), dphi > 0 — fully closed form (module docstring).  Inputs
     broadcast; returns +BIG where an endpoint is inside the horizon."""
-    M, l = mass, ads_l
-    mu = jnp.sqrt(M)
     ua = 1.0 / jnp.maximum(ra, _EPS)
     ub = 1.0 / jnp.maximum(rb, _EPS)
+    return _null_delay_u(ua, ub, dphi, mass, ads_l)
+
+
+def btz_null_delay_reflected(ra, rb, dphi, mass, ads_l):
+    """Delay of the null geodesic from (ra, 0) to (rb, dphi) that reflects
+    ONCE off the AdS conformal boundary (r = infinity, reached in finite
+    coordinate time).  Closed form via the signed-u continuation
+    (_null_delay_u): the reflected path is the analytic solution of the
+    linear orbit ODE u'' = M u with the far endpoint NEGATED in u."""
+    ua = 1.0 / jnp.maximum(ra, _EPS)
+    ub = 1.0 / jnp.maximum(rb, _EPS)
+    return _null_delay_u(ua, -ub, dphi, mass, ads_l)
+
+
+def _null_delay_u(ua, ub, dphi, mass, ads_l):
+    """Signed-u-space core of btz_null_delay: ub < 0 selects the orbit
+    reflecting once off the AdS boundary (u = 0).  u'' = M u is linear and
+    odd, so the continuation through u = 0 with endpoint -|ub| IS the
+    reflected path (|u(phi)| the physical inverse radius): the mirror law
+    (radial momentum reverses, E and L conserved) holds at the crossing by
+    the sign flip of du/dphi, and every integrand below is even in u, so
+    the continued integrals equal the physical ones.  Validity of the
+    root-free integration range carries over: on the positive segment u is
+    convex (u'' > 0, below the chord to the crossing), on the negative
+    concave, so max |u| = max(ua, |ub|) < u_horizon and the w+/- roots
+    (|u| = u_horizon touchpoints) stay outside [1, W].  Inputs broadcast;
+    +BIG where an endpoint radius is inside the horizon."""
+    M, l = mass, ads_l
+    mu = jnp.sqrt(M)
     e_half = jnp.exp(mu * dphi)  # e^{mu dphi}
     denom = e_half - 1.0 / e_half
     A = (ub - ua / e_half) / jnp.maximum(denom, _EPS)
@@ -148,6 +182,8 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
     t = jnp.where(a2 < 1e-9, t_deg, t_gen)
 
     r_h = l * mu
+    ra = 1.0 / jnp.maximum(ua, _EPS)
+    rb = 1.0 / jnp.maximum(jnp.abs(ub), _EPS)
     # near-radial geodesics: the BVP solve cancels catastrophically as
     # dphi -> 0 (A ~ 1/dphi); the radial null path has its own closed form
     # t = integral dr / f = (l/2mu) ln[((rb-rh)(ra+rh)) / ((rb+rh)(ra-rh))]
@@ -155,6 +191,13 @@ def btz_null_delay(ra, rb, dphi, mass, ads_l):
         jnp.maximum((rb - r_h) * (ra + r_h), _EPS)
         / jnp.maximum((rb + r_h) * (ra - r_h), _EPS)
     ))
+    # reflected radial limit: out to the boundary and back, two legs of
+    # int_r^inf dr/f = (l/2mu) ln((r+rh)/(r-rh))
+    leg = lambda r: jnp.log(
+        jnp.maximum(r + r_h, _EPS) / jnp.maximum(r - r_h, _EPS)
+    )
+    t_rad_reflect = (l / (2.0 * mu)) * (leg(ra) + leg(rb))
+    t_rad = jnp.where(ub < 0, t_rad_reflect, t_rad)
     t = jnp.where(dphi < 3e-3, t_rad, t)
 
     inside = (ra <= r_h) | (rb <= r_h)
@@ -175,10 +218,25 @@ def btz_drag_integral(ra, rb, dphi, mass, ads_l):
     stable co-root w- = 2 a0/(a1 + sq) keeps the f32 error < 2e-4).  A
     slowly-rotating hole's null delay is t(J) = t(0) + s_travel (J/2) *
     this (see BTZBlackHole; s_travel handled by callers)."""
-    M, l = mass, ads_l
-    mu = jnp.sqrt(M)
     ua = 1.0 / jnp.maximum(ra, _EPS)
     ub = 1.0 / jnp.maximum(rb, _EPS)
+    return _drag_integral_u(ua, ub, dphi, mass, ads_l)
+
+
+def btz_drag_integral_reflected(ra, rb, dphi, mass, ads_l):
+    """btz_drag_integral along the once-AdS-boundary-reflected orbit
+    (btz_null_delay_reflected's path)."""
+    ua = 1.0 / jnp.maximum(ra, _EPS)
+    ub = 1.0 / jnp.maximum(rb, _EPS)
+    return _drag_integral_u(ua, -ub, dphi, mass, ads_l)
+
+
+def _drag_integral_u(ua, ub, dphi, mass, ads_l):
+    """Signed-u-space core of btz_drag_integral: ub < 0 = one AdS-boundary
+    reflection, via the same continued-orbit argument as _null_delay_u
+    (1/f = l^2 u^2/(1 - M l^2 u^2) is even in u)."""
+    M, l = mass, ads_l
+    mu = jnp.sqrt(M)
     e_half = jnp.exp(mu * dphi)
     denom = e_half - 1.0 / e_half
     A = (ub - ua / e_half) / jnp.maximum(denom, _EPS)
@@ -218,9 +276,25 @@ def btz_drag_integral(ra, rb, dphi, mass, ads_l):
 
     # near-radial: the sweep is tiny and f is bounded away from 0 off the
     # horizon -> trapezoid of the endpoints (exact as dphi -> 0)
+    ra = 1.0 / jnp.maximum(ua, _EPS)
+    rb = 1.0 / jnp.maximum(jnp.abs(ub), _EPS)
     fa = jnp.maximum(ra * ra / (l * l) - M, _EPS)
     fb = jnp.maximum(rb * rb / (l * l) - M, _EPS)
     i_rad = dphi * 0.5 * (1.0 / fa + 1.0 / fb)
+    # reflected radial limit: phi(u) is linear in u on each leg as
+    # dphi -> 0, so the sweep-average of 1/f is the u-average over BOTH
+    # legs: int dphi'/f -> dphi (g(ua) + g(|ub|)) / (ua + |ub|) with
+    # g(u) = int_0^u l^2 s^2 ds/(1 - M l^2 s^2) = (artanh(k u)/k - u)/M,
+    # k = l sqrt(M) (exterior endpoints keep k u < 1)
+    k = l * mu
+    g_of = lambda u: (
+        jnp.arctanh(jnp.clip(k * u, 0.0, 1.0 - 1e-6)) / k - u
+    ) / M
+    ub_a = jnp.abs(ub)
+    i_rad_reflect = dphi * (g_of(ua) + g_of(ub_a)) / jnp.maximum(
+        ua + ub_a, _EPS
+    )
+    i_rad = jnp.where(ub < 0, i_rad_reflect, i_rad)
     out = jnp.where(dphi < 3e-3, i_rad, out)
 
     r_h = l * mu
@@ -236,6 +310,14 @@ def _spin_delay(base, ra, rb, dphi, s, hole: BTZBlackHole):
     (travel sense matching sign(J)) arrives EARLIER."""
     drag = hole.spin * 0.5 * s * btz_drag_integral(
         ra, rb, dphi, hole.mass, hole.ads_l
+    )
+    return jnp.where(base >= _BIG, base, jnp.maximum(base + drag, 0.0))
+
+
+def _spin_delay_u(base, ua, ub, dphi, s, hole: BTZBlackHole):
+    """_spin_delay in signed-u space (ub < 0 = AdS-boundary reflection)."""
+    drag = hole.spin * 0.5 * s * _drag_integral_u(
+        ua, ub, dphi, hole.mass, hole.ads_l
     )
     return jnp.where(base >= _BIG, base, jnp.maximum(base + drag, 0.0))
 
@@ -256,9 +338,13 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """Shared orbit-BVP preamble (camera at phi = 0, emitter q at phi =
     dphi): polar decomposition around the hole, route angular separation
     dphi with travel sense s (+/-1), and the orbit coefficients
-    u(phi) = A e^{mu phi} + B e^{-mu phi}.  Every consumer (bearing,
-    emitter direction, orbit sampling, the brute oracle) derives from this
-    one function so sign/clip conventions can never drift."""
+    u(phi) = A e^{mu phi} + B e^{-mu phi}.  Routes 0/1 span the minor
+    angle |dphi| / the around-the-back 2 pi - |dphi|; routes 2/3 are the
+    same two separations with ONE AdS-boundary reflection — the emitter
+    endpoint enters the BVP NEGATED in u (u_q_bvp), so A, B describe the
+    signed continued orbit (_null_delay_u docstring).  Every consumer
+    (bearing, emitter direction, orbit sampling, the brute oracle) derives
+    from this one function so sign/clip conventions can never drift."""
     hx, hy = hole.center[0], hole.center[1]
     mu = jnp.sqrt(hole.mass)
     rqx, rqy = qx - hx, qy - hy
@@ -269,7 +355,7 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     phi_q = jnp.arctan2(rqy, rqx)
     delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # [-pi, pi)
     sgn = jnp.where(delta >= 0, 1.0, -1.0)
-    if route == 0:
+    if route % 2 == 0:
         dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
         s = sgn
     else:
@@ -277,19 +363,25 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
         s = -sgn
     u_c = 1.0 / jnp.maximum(rc, _EPS)
     u_q = 1.0 / jnp.maximum(rq, _EPS)
+    u_q_bvp = -u_q if route >= 2 else u_q
     e = jnp.exp(mu * dphi)
-    A = (u_q - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
+    A = (u_q_bvp - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
     B = u_c - A
     return dict(mu=mu, rq=rq, rc=rc, phi_c=phi_c, dphi=dphi, s=s,
-                u_c=u_c, u_q=u_q, A=A, B=B)
+                u_c=u_c, u_q=u_q, u_q_bvp=u_q_bvp, A=A, B=B)
 
 
-def _tangent_at(ob, phi):
+def _tangent_at(ob, phi, sigma=1.0):
     """Chart tangent of the orbit at sweep angle phi (per unit phi, in the
-    travel sense s): (dr/dphi) r_hat + r phi_hat."""
+    travel sense s): (dr/dphi) r_hat + r phi_hat.  `sigma` selects the
+    physical branch of a reflected (signed-continuation) orbit: +1 before
+    the AdS-boundary bounce (camera side), -1 after (emitter side), where
+    the physical inverse radius is -u_cont."""
     mu, s = ob["mu"], ob["s"]
     u = ob["A"] * jnp.exp(mu * phi) + ob["B"] * jnp.exp(-mu * phi)
     du = mu * (ob["A"] * jnp.exp(mu * phi) - ob["B"] * jnp.exp(-mu * phi))
+    u = sigma * u
+    du = sigma * du
     r = 1.0 / jnp.maximum(u, _EPS)
     dr_dphi = -du / jnp.maximum(u * u, _EPS)
     ang = ob["phi_c"] + s * phi
@@ -322,13 +414,17 @@ def route_optics_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     ob = _orbit_setup(qx, qy, cx, cy, hole, route)
     vx, vy = _tangent_at(ob, jnp.zeros_like(ob["dphi"]))
     bearing = jnp.arctan2(vy, vx)
-    delay = btz_null_delay(ob["rq"], ob["rc"], ob["dphi"], hole.mass,
-                           hole.ads_l)
+    delay = _null_delay_u(ob["u_c"], ob["u_q_bvp"], ob["dphi"], hole.mass,
+                          hole.ads_l)
     # NOTE endpoint order: the orbit is parametrized camera (phi=0) ->
     # emitter (dphi); the drag integral is endpoint-symmetric like the
     # delay, the SIGN carries the physics (_spin_delay docstring)
-    delay = _spin_delay(delay, ob["rq"], ob["rc"], ob["dphi"], ob["s"], hole)
-    tx, ty = _tangent_at(ob, ob["dphi"])
+    delay = _spin_delay_u(
+        delay, ob["u_c"], ob["u_q_bvp"], ob["dphi"], ob["s"], hole
+    )
+    # emitter side of a reflected route lies on the -u branch of the
+    # continued orbit (_tangent_at sigma)
+    tx, ty = _tangent_at(ob, ob["dphi"], sigma=-1.0 if route >= 2 else 1.0)
     inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
     return bearing, delay, -tx * inv, -ty * inv
 
@@ -342,16 +438,20 @@ def sample_orbit(qx, qy, cx, cy, hole: BTZBlackHole, route: int, n: int):
     mu = ob["mu"]
     frac = jnp.linspace(0.0, 1.0, n)
     phis = ob["dphi"] * frac
+    # signed continued orbit; |u| is the physical inverse radius (reflected
+    # routes cross u = 0 at the AdS boundary)
     u = ob["A"] * jnp.exp(mu * phis) + ob["B"] * jnp.exp(-mu * phis)
-    r = 1.0 / jnp.maximum(u, _EPS)
+    r = 1.0 / jnp.maximum(jnp.abs(u), _EPS)
     ang = ob["phi_c"] + ob["s"] * phis
     xs = hx + r * jnp.cos(ang)
     ys = hy + r * jnp.sin(ang)
-    # delay from camera to each sample: same closed form, partial upper limit
-    delays = btz_null_delay(r, ob["rc"], jnp.maximum(phis, 1e-5), hole.mass,
-                            hole.ads_l)
-    delays = _spin_delay(
-        delays, r, ob["rc"], jnp.maximum(phis, 1e-5), ob["s"], hole
+    # delay from camera to each sample: same closed form, partial upper
+    # limit — the signed u keeps the sub-path's BVP on the SAME continued
+    # orbit (samples past the bounce re-solve to the same A, B)
+    delays = _null_delay_u(ob["u_c"], u, jnp.maximum(phis, 1e-5), hole.mass,
+                           hole.ads_l)
+    delays = _spin_delay_u(
+        delays, ob["u_c"], u, jnp.maximum(phis, 1e-5), ob["s"], hole
     )
     return xs, ys, delays
 
@@ -367,16 +467,22 @@ def _travel_sense(qx, qy, cx, cy, hole: BTZBlackHole):
 
 def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """One route's delay between chart point q and camera c: route 0 spans
-    the minor angle |dphi|, route 1 goes around the back (2 pi - |dphi|).
+    the minor angle |dphi|, route 1 goes around the back (2 pi - |dphi|);
+    routes 2/3 are the same separations with one AdS-boundary reflection.
     Computing routes separately keeps the band search at one closed-form
     evaluation per probe."""
     rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
-    sep = jnp.maximum(d_phi, 1e-6) if route == 0 else 2.0 * jnp.pi - d_phi
+    sep = (
+        jnp.maximum(d_phi, 1e-6) if route % 2 == 0 else 2.0 * jnp.pi - d_phi
+    )
     s = _travel_sense(qx, qy, cx, cy, hole)
-    if route != 0:
+    if route % 2:
         s = -s
-    base = btz_null_delay(rq, rc, sep, hole.mass, hole.ads_l)
-    return _spin_delay(base, rq, rc, sep, s, hole)
+    uc = 1.0 / jnp.maximum(rc, _EPS)
+    uq = 1.0 / jnp.maximum(rq, _EPS)
+    ub = -uq if route >= 2 else uq
+    base = _null_delay_u(uc, ub, sep, hole.mass, hole.ads_l)
+    return _spin_delay_u(base, uc, ub, sep, s, hole)
 
 
 def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
@@ -396,12 +502,12 @@ def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
 
 
 def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
-                n_rays: int, ray_chunk: int = 8192):
+                n_rays: int, ray_chunk: int = 8192, routes=(0, 1)):
     """1D occlusion retina over ARRIVAL BEARING at the camera: every pair
     whose event is cone-consistent with a route (emitted at t_now - that
     route's delay) scatter-mins its delay into the bearing bins covering its
-    angular footprint.  Needs no per-pair route identity: both routes are
-    tested, the inconsistent one simply fails the cone gate."""
+    angular footprint.  Needs no per-pair route identity: every route is
+    tested, the inconsistent ones simply fail the cone gate."""
     pd = pairs.pdata
     cxm, cym = cam.pos[0], cam.pos[1]
     ex = 0.5 * (pd[:, _F_AX] + pd[:, _F_BX])
@@ -432,7 +538,7 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
             n_chunks, chunk
         )
 
-    for route in (0, 1):
+    for route in routes:
         beta, delay = arrival_bearing_xy(ex, ey, cxm, cym, hole, route)
         # cone gate: the event really was emitted one route-delay ago
         # (slack: the crossing lies within the tick + capsule radius)
@@ -480,18 +586,14 @@ def _render_btz_impl(
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
     use_rays = params.opaque and params.retarded
-
-    def d1_of(qx, qy):
-        return route_delay_xy(qx, qy, cxm, cym, hole, 0)
-
-    def d2_of(qx, qy):
-        return route_delay_xy(qx, qy, cxm, cym, hole, 1)
+    route_ids = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
 
     # NO view-hull culling: curved routes pass through off-screen regions,
     # and off-screen matter must still occlude them / show back-route images
     plist = []
     band_truncated = jnp.int32(0)
-    for fn in (d1_of, d2_of):
+    for r in route_ids:
+        fn = lambda qx, qy, _r=r: route_delay_xy(qx, qy, cxm, cym, hole, _r)
         p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
                                height, params, route_lengths=fn,
                                cull_hull=False)
@@ -524,7 +626,7 @@ def _render_btz_impl(
     n_rays = params.num_rays
     if use_rays:
         retina = _btz_retina(pairs, cam, t_now, hole, dt, rho, n_rays,
-                             ray_chunk=params.ray_chunk)
+                             ray_chunk=params.ray_chunk, routes=route_ids)
         retina_rows = jnp.broadcast_to(retina[:, None], (n_rays, 8))
 
     pxs, pys = _cell_pixel_coords(width, height, cam, params)
@@ -537,7 +639,7 @@ def _render_btz_impl(
             jnp.sqrt((px - cxm) ** 2 + (py - cym) ** 2), 1e-6
         )
         routes = []
-        for r in (0, 1):
+        for r in route_ids:
             beta, td, nex, ney = route_optics_xy(px, py, cxm, cym, hole, r)
             occ, win = _occupancy_cells(px, py, t_now - td, vdat, vok, dt, rho)
             occ = occ & (td < _BIG)
@@ -554,18 +656,34 @@ def _render_btz_impl(
             routes.append(dict(td=td, occ=occ, win=win, blk=blk, beta=beta,
                                nex=nex, ney=ney))
 
-        td1, td2 = routes[0]["td"], routes[1]["td"]
-        sel1 = routes[0]["occ"] & ~routes[0]["blk"]
-        sel2 = routes[1]["occ"] & ~routes[1]["blk"]
-        use1_vis = sel1 & (~sel2 | (td1 <= td2))
-        visible = sel1 | sel2
-        use1_occ = routes[0]["occ"] & (~routes[1]["occ"] | (td1 <= td2))
-        occupied = routes[0]["occ"] | routes[1]["occ"]
-        use1 = jnp.where(visible, use1_vis, use1_occ)
-        winner = jnp.where(use1[:, :, None], routes[0]["win"], routes[1]["win"])
-        beta_w = jnp.where(use1, routes[0]["beta"], routes[1]["beta"])
-        nex = jnp.where(use1, routes[0]["nex"], routes[1]["nex"])
-        ney = jnp.where(use1, routes[0]["ney"], routes[1]["ney"])
+        # earliest-arrival winner across K routes (earlier route index wins
+        # ties — identical to the historical 2-route td1 <= td2 logic)
+        def earliest(mask_key):
+            best_td = jnp.full_like(routes[0]["td"], _BIG)
+            best_i = jnp.zeros(routes[0]["td"].shape, jnp.int32)
+            for i, ro in enumerate(routes):
+                v = jnp.where(ro[mask_key], ro["td"], _BIG)
+                take = v < best_td
+                best_td = jnp.where(take, v, best_td)
+                best_i = jnp.where(take, jnp.int32(i), best_i)
+            return best_i
+
+        for ro in routes:
+            ro["sel"] = ro["occ"] & ~ro["blk"]
+        visible = routes[0]["sel"]
+        occupied = routes[0]["occ"]
+        for ro in routes[1:]:
+            visible = visible | ro["sel"]
+            occupied = occupied | ro["occ"]
+        idx = jnp.where(visible, earliest("sel"), earliest("occ"))
+        winner = routes[0]["win"]
+        beta_w, nex, ney = routes[0]["beta"], routes[0]["nex"], routes[0]["ney"]
+        for i, ro in enumerate(routes[1:], start=1):
+            pick = idx == i
+            winner = jnp.where(pick[:, :, None], ro["win"], winner)
+            beta_w = jnp.where(pick, ro["beta"], beta_w)
+            nex = jnp.where(pick, ro["nex"], nex)
+            ney = jnp.where(pick, ro["ney"], ney)
 
         vx = _field_at(vdat, winner, _F_VX)
         vy = _field_at(vdat, winner, _F_VY)
@@ -596,9 +714,12 @@ def _render_btz_impl(
         in_hole = ((px - hx) ** 2 + (py - hy) ** 2) < hole.r_h**2
 
         if use_rays:
-            bg_blocked = (routes[0]["blk"] | (td1 >= _BIG)) & (
-                routes[1]["blk"] | (td2 >= _BIG)
-            ) & ((td1 < _BIG) | (td2 < _BIG))
+            all_blocked = routes[0]["blk"] | (routes[0]["td"] >= _BIG)
+            any_route = routes[0]["td"] < _BIG
+            for ro in routes[1:]:
+                all_blocked = all_blocked & (ro["blk"] | (ro["td"] >= _BIG))
+                any_route = any_route | (ro["td"] < _BIG)
+            bg_blocked = all_blocked & any_route
 
             def compose(s):
                 return jnp.where(
@@ -725,9 +846,9 @@ def render_btz_brute(
     def route_pass(route):
         # same _orbit_setup as the fast path: sign/clip conventions shared
         ob = _orbit_setup(px, py, cxm, cym, hole, route)
-        dphi, s, rc_ = ob["dphi"], ob["s"], ob["rc"]
+        dphi, s = ob["dphi"], ob["s"]
         phi_c, A, B = ob["phi_c"], ob["A"], ob["B"]
-        td = btz_null_delay(ob["rq"], rc_, dphi, M, l)
+        td = _null_delay_u(ob["u_c"], ob["u_q_bvp"], dphi, M, l)
         inside, dist2 = _occupancy_xy(
             px[:, None], py[:, None], (t_now - td)[:, None],
             fax[None], fay[None], fbx[None], fby[None], fta[None], dt, rho,
@@ -745,12 +866,14 @@ def render_btz_brute(
 
         def body(blocked, frac):
             phis = dphi * frac
+            # signed continued orbit: |u| = physical inverse radius
+            # (reflected routes cross u = 0 at the AdS boundary)
             u = A * jnp.exp(mu * phis) + B * jnp.exp(-mu * phis)
-            r = 1.0 / jnp.maximum(u, _EPS)
+            r = 1.0 / jnp.maximum(jnp.abs(u), _EPS)
             ang = phi_c + s * phis
             sx = hx + r * jnp.cos(ang)
             sy = hy + r * jnp.sin(ang)
-            dj = btz_null_delay(r, rc_, jnp.maximum(phis, 1e-5), M, l)
+            dj = _null_delay_u(ob["u_c"], u, jnp.maximum(phis, 1e-5), M, l)
             hit, _ = _occupancy_xy(
                 sx[:, None], sy[:, None], (t_now - dj)[:, None],
                 fax[None], fay[None], fbx[None], fby[None], fta[None],
@@ -764,23 +887,38 @@ def render_btz_brute(
         blocked, _ = jax.lax.scan(body, jnp.zeros_like(occ), fracs)
         return td, occ, best, blocked
 
-    td1, occ1, best1, blk1 = route_pass(0)
-    td2, occ2, best2, blk2 = route_pass(1)
+    route_ids = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
+    passes = [route_pass(r) for r in route_ids]
+    optics = [route_optics_xy(px, py, cxm, cym, hole, r) for r in route_ids]
 
-    sel1 = occ1 & ~blk1
-    sel2 = occ2 & ~blk2
-    use1_vis = sel1 & (~sel2 | (td1 <= td2))
-    visible = sel1 | sel2
-    use1_occ = occ1 & (~occ2 | (td1 <= td2))
-    occupied = occ1 | occ2
-    use1 = jnp.where(visible, use1_vis, use1_occ)
-    best = jnp.where(use1, best1, best2)
+    # earliest-arrival winner across K routes (ties -> lower route index,
+    # matching the fast path's selection)
+    def earliest(masks):
+        best_td = jnp.full_like(passes[0][0], _BIG)
+        best_i = jnp.zeros(passes[0][0].shape, jnp.int32)
+        for i, ((td, _, _, _), m) in enumerate(zip(passes, masks)):
+            v = jnp.where(m, td, _BIG)
+            take = v < best_td
+            best_td = jnp.where(take, v, best_td)
+            best_i = jnp.where(take, jnp.int32(i), best_i)
+        return best_i
 
-    beta1, _, nex1, ney1 = route_optics_xy(px, py, cxm, cym, hole, 0)
-    beta2, _, nex2, ney2 = route_optics_xy(px, py, cxm, cym, hole, 1)
-    beta = jnp.where(use1, beta1, beta2)
-    nex = jnp.where(use1, nex1, nex2)
-    ney = jnp.where(use1, ney1, ney2)
+    sels = [occ & ~blk for (_, occ, _, blk) in passes]
+    occs = [occ for (_, occ, _, _) in passes]
+    visible = sels[0]
+    occupied = occs[0]
+    for s_, o_ in zip(sels[1:], occs[1:]):
+        visible = visible | s_
+        occupied = occupied | o_
+    idx = jnp.where(visible, earliest(sels), earliest(occs))
+    best = passes[0][2]
+    beta, nex, ney = optics[0][0], optics[0][2], optics[0][3]
+    for i in range(1, len(passes)):
+        pick = idx == i
+        best = jnp.where(pick, passes[i][2], best)
+        beta = jnp.where(pick, optics[i][0], beta)
+        nex = jnp.where(pick, optics[i][2], nex)
+        ney = jnp.where(pick, optics[i][3], ney)
     nx, ny = -jnp.cos(beta), -jnp.sin(beta)
     obj = fobj[best]
     cr = objects.base_color[:, 0][obj]
@@ -798,9 +936,12 @@ def render_btz_brute(
 
     in_hole = rp < hole.r_h
     if use_rays:
-        bg_blocked = (blk1 | (td1 >= _BIG)) & (blk2 | (td2 >= _BIG)) & (
-            (td1 < _BIG) | (td2 < _BIG)
-        )
+        all_blocked = jnp.ones_like(visible)
+        any_route = jnp.zeros_like(visible)
+        for (td, _, _, blk) in passes:
+            all_blocked = all_blocked & (blk | (td >= _BIG))
+            any_route = any_route | (td < _BIG)
+        bg_blocked = all_blocked & any_route
         comp = lambda sch: jnp.where(
             in_hole, 0.0,
             jnp.where(

@@ -106,6 +106,11 @@ class RenderParams:
     # flags it and the engine doubles the budget on evidence.
     entry_budget: int = 0
     cells_per_block: int = 512  # view cells per lax.map block (bounds HBM)
+    # BTZ mode only: also render routes reflected ONCE off the AdS
+    # conformal boundary (ops/btz.py ROUTES) — a third/fourth image per
+    # emitter at longer delays.  Doubles the band searches and the
+    # per-pixel route work; needs history >= the bounce delay in ticks.
+    btz_reflections: bool = False
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
     # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on

@@ -293,6 +293,21 @@ def config_btz_hole() -> EngineConfig:
     )
 
 
+def config_btz_reflected() -> EngineConfig:
+    """BTZ with AdS boundary-reflected routes (ops/btz.py ROUTES): light
+    reaches the conformal boundary in finite coordinate time and bounces
+    back, so every emitter gains boundary-ECHO images at the bounce delay
+    (~230-450 ticks at this geometry, l/(2 sqrt(M)) ln-legs both ends).
+    History must reach past the bounce delay or the echoes have no stored
+    worldline to sample."""
+    base = config_btz_hole()
+    return dataclasses.replace(
+        base,
+        render=dataclasses.replace(base.render, btz_reflections=True),
+        history=768,
+    )
+
+
 def config_btz_spinning() -> EngineConfig:
     """Rotating BTZ (slow-rotation frame dragging): co-rotating images
     arrive earlier than counter-rotating ones, so the double images of the
@@ -306,6 +321,7 @@ def config_btz_spinning() -> EngineConfig:
 CONFIGS = {
     "single_blob": config_single_blob,
     "btz_hole": config_btz_hole,
+    "btz_reflected": config_btz_reflected,
     "btz_spinning": config_btz_spinning,
     "png_demo": config_png_demo,
     "two_body_collision": config_two_body_collision,

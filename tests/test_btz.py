@@ -484,3 +484,186 @@ def test_spin_render_smoke():
     b = np.asarray(btz.render_btz_xray(
         buf, particles.object_index, objects, cam, holes, 96, 96, params))
     assert np.any(np.abs(a - b) > 0.05)
+
+
+# ---------------------------------------------------------------------------
+# AdS boundary-reflected routes (routes 2/3)
+
+
+def _delay_quadrature_reflected(ra, rb, dphi, M, l, n=400_000):
+    """f64 oracle for the once-boundary-reflected delay: the continued
+    orbit with the far endpoint negated in u (ops/btz.py ROUTES); the
+    integrand is even in u so integrating through the u = 0 crossing IS
+    the physical two-leg path."""
+    mu = np.sqrt(M)
+    ua, ub = 1.0 / ra, -1.0 / rb
+    e = np.exp(mu * dphi)
+    A = (ub - ua / e) / (e - 1.0 / e)
+    B = ua - A
+    EoverL = np.sqrt(1.0 / l**2 - 4.0 * A * B * M)
+    phi = np.linspace(0.0, dphi, n)
+    u = A * np.exp(mu * phi) + B * np.exp(-mu * phi)
+    assert u[0] > 0 and u[-1] < 0
+    # exactly one boundary crossing
+    assert np.sum(np.diff(np.sign(u)) != 0) == 1
+    integrand = EoverL * l * l / (1.0 - M * l * l * u * u)
+    return float(np.trapezoid(integrand, phi))
+
+
+def _drag_quadrature_reflected(ra, rb, dphi, M, l, n=400_000):
+    mu = np.sqrt(M)
+    ua, ub = 1.0 / ra, -1.0 / rb
+    e = np.exp(mu * dphi)
+    A = (ub - ua / e) / (e - 1.0 / e)
+    B = ua - A
+    phi = np.linspace(0.0, dphi, n)
+    u = A * np.exp(mu * phi) + B * np.exp(-mu * phi)
+    over_f = l * l * u * u / (1.0 - M * l * l * u * u)  # even in u
+    return float(np.trapezoid(over_f, phi))
+
+
+def test_reflected_delay_matches_quadrature():
+    rng = np.random.default_rng(13)
+    M, l = 0.02, 0.4
+    r_h = l * np.sqrt(M)
+    for _ in range(20):
+        ra = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        rb = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        dphi = float(rng.uniform(0.1, 2.0 * np.pi - 0.1))
+        want = _delay_quadrature_reflected(ra, rb, dphi, M, l)
+        got = float(btz.btz_null_delay_reflected(
+            jnp.float32(ra), jnp.float32(rb), jnp.float32(dphi),
+            jnp.float32(M), jnp.float32(l)))
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+        # strictly longer than the direct route between the same endpoints
+        direct = float(btz.btz_null_delay(ra, rb, dphi, M, l))
+        assert got > direct, (ra, rb, dphi)
+        # endpoint symmetry (time reversal of the same path)
+        rev = float(btz.btz_null_delay_reflected(rb, ra, dphi, M, l))
+        np.testing.assert_allclose(got, rev, rtol=1e-4)
+
+
+def test_reflected_drag_matches_quadrature():
+    rng = np.random.default_rng(17)
+    M, l = 0.02, 0.4
+    r_h = l * np.sqrt(M)
+    for _ in range(20):
+        ra = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        rb = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        dphi = float(rng.uniform(0.1, 2.0 * np.pi - 0.1))
+        want = _drag_quadrature_reflected(ra, rb, dphi, M, l)
+        got = float(btz.btz_drag_integral_reflected(
+            jnp.float32(ra), jnp.float32(rb), jnp.float32(dphi),
+            jnp.float32(M), jnp.float32(l)))
+        assert want > 0
+        np.testing.assert_allclose(got, want, rtol=3e-3)
+
+
+def test_reflected_radial_limit_stable():
+    """dphi -> 0: the closed form must hand over to the exact two-leg
+    radial formula (out to the boundary and back) without NaNs."""
+    M, l = 0.02, 0.4
+    mu = np.sqrt(M)
+    r_h = l * mu
+    for ra, rb in [(0.2, 0.3), (0.25, 0.25), (0.1, 0.35)]:
+        for dphi in (1e-6, 1e-4, 1e-3):
+            got = float(btz.btz_null_delay_reflected(ra, rb, dphi, M, l))
+            assert np.isfinite(got) and got > 0
+        leg = lambda r: np.log((r + r_h) / (r - r_h))
+        want = (l / (2 * mu)) * (leg(ra) + leg(rb))
+        got = float(btz.btz_null_delay_reflected(ra, rb, 1e-4, M, l))
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+        # ... and the quadrature agrees with that same limit
+        quad = _delay_quadrature_reflected(ra, rb, 1e-3, M, l)
+        np.testing.assert_allclose(quad, want, rtol=5e-3)
+
+
+def test_reflected_orbit_reaches_boundary_and_endpoints():
+    """Routes 2/3 sampled orbits run from the camera far out (toward the
+    AdS boundary) and back to the emitter; delays grow monotonically and
+    end at route_delay_xy's value."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.33, 0.1), (-0.2, -0.3)]:
+        for route in (2, 3):
+            xs, ys, dl = btz.sample_orbit(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route, 8192)
+            r = np.hypot(np.asarray(xs), np.asarray(ys))
+            assert r.max() > 10.0 * max(r[0], r[-1]), (q, route)
+            np.testing.assert_allclose(
+                [float(xs[0]), float(ys[0])], cam, atol=1e-4)
+            np.testing.assert_allclose(
+                [float(xs[-1]), float(ys[-1])], q, atol=1e-4)
+            end = float(btz.route_delay_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route))
+            np.testing.assert_allclose(float(dl[-1]), end, rtol=1e-3)
+            # delays from the camera grow along the path (skip the first
+            # samples where the partial-BVP dphi clamp dominates)
+            d = np.asarray(dl)[8:]
+            assert np.all(np.diff(d) > -1e-3), (q, route)
+
+
+def test_reflected_bearings_match_sampled_orbit():
+    """Camera-side bearing and emitter-side direction of routes 2/3 match
+    finite differences of the sampled reflected orbit."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.2, -0.3)]:
+        for route in (2, 3):
+            b, _ = btz.arrival_bearing_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route)
+            nex, ney = btz.emitter_direction_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route)
+            xs, ys, _ = btz.sample_orbit(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route, 8192)
+            fd = np.arctan2(float(ys[1] - ys[0]), float(xs[1] - xs[0]))
+            diff = abs(((float(b) - fd) + np.pi) % (2 * np.pi) - np.pi)
+            assert diff < 0.02, (q, route, float(b), fd)
+            tx = -(float(xs[-1]) - float(xs[-2]))
+            ty = -(float(ys[-1]) - float(ys[-2]))
+            norm = np.hypot(tx, ty)
+            dot = (float(nex) * tx + float(ney) * ty) / norm
+            assert dot > 0.999, (q, route, dot)
+
+
+def test_btz_reflected_image_render():
+    """btz_reflections=True adds image area (the boundary-echo images show
+    the moving body at its OLDER positions, the bounce delay further back)
+    and agrees with the geodesic-walking brute oracle."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.3), (0.0, 0.4))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    particles, objects = sb.build(capacity=256)
+    # the bounce delay at this geometry is ~250-340 ticks (out to the AdS
+    # boundary and back): the ring must reach past it for echo images
+    buf = wl.create(512, particles.capacity)
+    p0 = particles.pos
+    for k in range(512):
+        t = k * H
+        buf = wl.push_frame(
+            buf, dataclasses.replace(particles, pos=p0 + particles.vel * t),
+            time=t)
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
+    base = raytrace.RenderParams(dt=H, opaque=False)
+    params = dataclasses.replace(
+        base, cell_px=raytrace.auto_cell_px(base, 96, 96, 1.4))
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    off = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole, 96, 96, params))
+    pref = dataclasses.replace(params, btz_reflections=True)
+    on = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole, 96, 96, pref))
+    n_off = (off.min(-1) < 0.9).sum()
+    n_on = (on.min(-1) < 0.9).sum()
+    assert n_off > 0
+    assert n_on > n_off, (n_off, n_on)
+    oracle = np.asarray(btz.render_btz_brute(
+        buf, particles.object_index, objects, cam, hole, 96, 96, pref,
+        n_samples=32))
+    mismatch = np.mean(np.any(np.abs(on - oracle) > 0.05, axis=-1))
+    assert mismatch < 0.03, mismatch

@@ -41,6 +41,11 @@ def main():
     # asymmetrically (co-rotating route arrives earlier)
     run("btz_spinning", 140, "assets/showcase_btz_spinning.png",
         cam_pos=(0.5, 0.15), cam_zoom=1.6)
+    # boundary echoes: routes reflected off the AdS conformal boundary add
+    # delayed third/fourth images (run deep into the 768-tick history so
+    # the ~230-450-tick bounce delays have stored worldline to sample)
+    run("btz_reflected", 480, "assets/showcase_btz_reflected.png",
+        cam_pos=(0.5, 0.15), cam_zoom=1.6)
 
 
 if __name__ == "__main__":
