@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     ap.add_argument("--serve-bind", default="127.0.0.1", metavar="ADDR",
                     help="bind address for --serve (default loopback; the "
                          "stream has no auth — use 0.0.0.0 to expose it)")
+    ap.add_argument("--overlay", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="draw the live stats panel on served frames "
+                         "(reference: src/debugui.rs egui overlay); PNG "
+                         "dumps via --out always stay raw")
     args = ap.parse_args(argv)
 
     import jax
@@ -102,6 +107,10 @@ def main(argv=None) -> int:
                     print(f"# live view: http://{args.serve_bind}:{stream.port}/"
                           f" ({'native' if stream.native else 'python'})",
                           file=sys.stderr)
+                if args.overlay:
+                    from .utils.overlay import overlay_stats
+
+                    arr = overlay_stats(arr, eng)
                 stream.submit(arr)
 
     eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)

@@ -54,6 +54,7 @@ def run_viewer(
     show: bool = True,
     stream_port: Optional[int] = None,
     stream_bind: str = "127.0.0.1",
+    overlay: bool = True,
 ) -> int:
     """Interactive loop; requires a GUI-capable matplotlib backend unless
     `show=False` (Agg).  `script(frame) -> [(key, down), ...]` injects
@@ -107,7 +108,12 @@ def run_viewer(
             keys.pop("p", None)
             arr = np.asarray(img)
             if stream is not None:
-                stream.submit(arr)
+                if overlay:  # the egui debug panel analog (utils/overlay.py)
+                    from .utils.overlay import overlay_stats
+
+                    stream.submit(overlay_stats(arr, engine))
+                else:
+                    stream.submit(arr)
             im.set_data(arr)
             summary = engine.stats.summary()
             title.set_text(
