@@ -27,7 +27,7 @@ def main(argv=None) -> int:
     ap.add_argument("--every", type=int, default=1, help="dump every Nth frame")
     ap.add_argument("--mode", default=None,
                     choices=[None, "retarded", "points", "instant", "retina",
-                             "conical", "btz"])
+                             "conical", "btz", "worldline3d"])
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--stats", action="store_true", help="print stats JSON")

@@ -333,6 +333,16 @@ class Engine:
                     diag = points_pallas.PointsDiag(
                         window_truncated=jnp.int32(0)
                     )
+            elif mode == "worldline3d":
+                from .ops import points_pallas, worldline3d
+
+                img = worldline3d.render_worldline3d(
+                    buf, particles.object_index, objects, cam,
+                    cfg.width, cfg.height, cfg.wl3d,
+                    active=particles.active,
+                    boundary=wl.boundary_mask(particles),
+                )
+                diag = points_pallas.PointsDiag(window_truncated=jnp.int32(0))
             elif mode == "conical":
                 from .ops import curved
 
@@ -369,7 +379,8 @@ class Engine:
             not self.paused
             and not self.config.stage_timing
             and self.config.render_mode
-            in ("retarded", "instant", "conical", "btz", "points")
+            in ("retarded", "instant", "conical", "btz", "points",
+                "worldline3d")
             and self._aloof_traceable()
         )
 
@@ -491,6 +502,15 @@ class Engine:
                 boundary=wl.boundary_mask(self.particles),
             )
             return img
+        if mode == "worldline3d":
+            from .ops import worldline3d
+
+            return worldline3d.render_worldline3d(
+                self.worldline, self.particles.object_index, self.objects,
+                self.camera, cfg.width, cfg.height, cfg.wl3d,
+                active=self.particles.active,
+                boundary=wl.boundary_mask(self.particles),
+            )
         if mode == "retina":
             return raytrace.render_retina(
                 self.worldline, self.particles.object_index, self.objects,

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 from ..constants import DEFAULT_PARAMS, PhysicsParams
 from ..ops.raytrace import RenderParams
+from ..ops.worldline3d import Worldline3DParams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +65,9 @@ class EngineConfig:
     # ((cx, cy), mass, ads_l, spin) — spin J adds slow-rotation frame
     # dragging (ops/btz.py BTZBlackHole; valid for |J| << M l)
     btz: Optional[Tuple] = None
+    # view parameters for render_mode='worldline3d' (the reference's stub
+    # worldline3d.glsl axis: the (x, y, t) block seen side-on)
+    wl3d: Worldline3DParams = Worldline3DParams()
     # split-jit debug mode: run step / worldline push / render as separate
     # dispatches with device syncs so StatsWindow reports true per-stage ms
     # (the analog of the reference's GPU timestamp stages, querybank.rs:14-47)
@@ -318,8 +322,31 @@ def config_btz_spinning() -> EngineConfig:
         config_btz_hole(), btz=((0.5, 0.5), 0.03, 0.45, 0.004))
 
 
+def config_worldline3d() -> EngineConfig:
+    """3D spacetime view of a two-body collision: the worldline ring drawn
+    as an (x, y, t) block seen side-on (the reference's worldline3d.glsl
+    intent, ops/worldline3d.py).  The blobs' past worldlines braid around
+    the impact; shell_only draws the boundary tube."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(2000, (0.32, 0.50), (0.2, 0.0), BLUE),
+                _blob(2000, (0.68, 0.50), (-0.2, 0.0), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.5, 0.5),
+        cam_zoom=1.1,
+        render_mode="worldline3d",
+        wl3d=Worldline3DParams(time_scale=0.45, fade=0.75, max_age=384),
+    )
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
+    "worldline3d": config_worldline3d,
     "btz_hole": config_btz_hole,
     "btz_reflected": config_btz_reflected,
     "btz_spinning": config_btz_spinning,
