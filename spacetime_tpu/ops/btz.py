@@ -32,9 +32,14 @@ closed form (no numerical ray marching):
     condition): since u'' = M u is linear and odd in u, the reflected
     connecting orbit is the analytic continuation with the emitter
     endpoint NEGATED in u — same 2x2 solve, same closed-form delay/drag
-    integrals (every integrand is even in u; _null_delay_u).  Higher
-    windings and multi-bounce routes are neglected — each adds a strictly
-    longer delay.
+    integrals (every integrand is even in u; _null_delay_u).  With
+    params.btz_windings = k, every route family repeats with separations
+    + 2 pi, ..., + 2 pi k: orbits circling the hole extra times — the 2+1
+    analog of higher-order photon-ring images (same closed forms;
+    existence is unconditional at every winding, _orbit_setup docstring).
+    Multi-bounce routes are PROVABLY absent: the continued orbit has at
+    most one zero, so a photon leaving the boundary falls monotonically
+    inward and never returns (_orbit_setup docstring).
 
 Modeling limitations (documented):
   * Opaque occlusion runs along the CURVED routes via a 1D retina over the
@@ -338,13 +343,27 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     """Shared orbit-BVP preamble (camera at phi = 0, emitter q at phi =
     dphi): polar decomposition around the hole, route angular separation
     dphi with travel sense s (+/-1), and the orbit coefficients
-    u(phi) = A e^{mu phi} + B e^{-mu phi}.  Routes 0/1 span the minor
-    angle |dphi| / the around-the-back 2 pi - |dphi|; routes 2/3 are the
-    same two separations with ONE AdS-boundary reflection — the emitter
-    endpoint enters the BVP NEGATED in u (u_q_bvp), so A, B describe the
-    signed continued orbit (_null_delay_u docstring).  Every consumer
-    (bearing, emitter direction, orbit sampling, the brute oracle) derives
-    from this one function so sign/clip conventions can never drift."""
+    u(phi) = A e^{mu phi} + B e^{-mu phi}.
+
+    Route encoding: base = route % 4, winding k = route // 4.  Bases 0/1
+    span the minor angle |dphi| / the around-the-back 2 pi - |dphi|; bases
+    2/3 are the same two separations with ONE AdS-boundary reflection — the
+    emitter endpoint enters the BVP NEGATED in u (u_q_bvp), so A, B
+    describe the signed continued orbit (_null_delay_u docstring).  Winding
+    k adds 2 pi k to the separation: orbits that circle the hole k extra
+    times — the 2+1 analog of higher-order photon-ring images.  Existence
+    is unconditional at EVERY winding: a solution positive at both
+    endpoints has its (at most one) zero outside the span, so u > 0
+    throughout, and convexity (u'' = M u) keeps u <= max(endpoints), i.e.
+    outside the horizon.  The same zero-count argument shows MULTI-BOUNCE
+    routes do not exist: two boundary reflections would need two zeros of
+    A e^{mu phi} + B e^{-mu phi}, which has at most one — after a bounce
+    |u| grows monotonically (no turning point: u' = 0 needs e^{2 mu phi} =
+    B/A < 0), so the photon never returns to the boundary.
+
+    Every consumer (bearing, emitter direction, orbit sampling, the brute
+    oracle) derives from this one function so sign/clip conventions can
+    never drift."""
     hx, hy = hole.center[0], hole.center[1]
     mu = jnp.sqrt(hole.mass)
     rqx, rqy = qx - hx, qy - hy
@@ -355,15 +374,17 @@ def _orbit_setup(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     phi_q = jnp.arctan2(rqy, rqx)
     delta = jnp.mod(phi_q - phi_c + jnp.pi, 2.0 * jnp.pi) - jnp.pi  # [-pi, pi)
     sgn = jnp.where(delta >= 0, 1.0, -1.0)
-    if route % 2 == 0:
+    base, winding = route % 4, route // 4
+    if base % 2 == 0:
         dphi = jnp.clip(jnp.abs(delta), 1e-4, None)
         s = sgn
     else:
         dphi = 2.0 * jnp.pi - jnp.abs(delta)
         s = -sgn
+    dphi = dphi + 2.0 * jnp.pi * winding
     u_c = 1.0 / jnp.maximum(rc, _EPS)
     u_q = 1.0 / jnp.maximum(rq, _EPS)
-    u_q_bvp = -u_q if route >= 2 else u_q
+    u_q_bvp = -u_q if base >= 2 else u_q
     e = jnp.exp(mu * dphi)
     A = (u_q_bvp - u_c / e) / jnp.maximum(e - 1.0 / e, _EPS)
     B = u_c - A
@@ -424,7 +445,9 @@ def route_optics_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
     )
     # emitter side of a reflected route lies on the -u branch of the
     # continued orbit (_tangent_at sigma)
-    tx, ty = _tangent_at(ob, ob["dphi"], sigma=-1.0 if route >= 2 else 1.0)
+    tx, ty = _tangent_at(
+        ob, ob["dphi"], sigma=-1.0 if (route % 4) >= 2 else 1.0
+    )
     inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
     return bearing, delay, -tx * inv, -ty * inv
 
@@ -466,21 +489,22 @@ def _travel_sense(qx, qy, cx, cy, hole: BTZBlackHole):
 
 
 def route_delay_xy(qx, qy, cx, cy, hole: BTZBlackHole, route: int):
-    """One route's delay between chart point q and camera c: route 0 spans
-    the minor angle |dphi|, route 1 goes around the back (2 pi - |dphi|);
-    routes 2/3 are the same separations with one AdS-boundary reflection.
-    Computing routes separately keeps the band search at one closed-form
-    evaluation per probe."""
+    """One route's delay between chart point q and camera c: base route 0
+    spans the minor angle |dphi|, base 1 goes around the back
+    (2 pi - |dphi|); bases 2/3 are the same separations with one
+    AdS-boundary reflection; winding route // 4 adds 2 pi k (_orbit_setup
+    encoding).  Computing routes separately keeps the band search at one
+    closed-form evaluation per probe."""
     rq, rc, d_phi = _polar_separation(qx, qy, cx, cy, hole)
-    sep = (
-        jnp.maximum(d_phi, 1e-6) if route % 2 == 0 else 2.0 * jnp.pi - d_phi
-    )
+    b, winding = route % 4, route // 4
+    sep = jnp.maximum(d_phi, 1e-6) if b % 2 == 0 else 2.0 * jnp.pi - d_phi
+    sep = sep + 2.0 * jnp.pi * winding
     s = _travel_sense(qx, qy, cx, cy, hole)
-    if route % 2:
+    if b % 2:
         s = -s
     uc = 1.0 / jnp.maximum(rc, _EPS)
     uq = 1.0 / jnp.maximum(rq, _EPS)
-    ub = -uq if route >= 2 else uq
+    ub = -uq if b >= 2 else uq
     base = _null_delay_u(uc, ub, sep, hole.mass, hole.ads_l)
     return _spin_delay_u(base, uc, ub, sep, s, hole)
 
@@ -586,7 +610,10 @@ def _render_btz_impl(
     t_now = buf.times[buf.cursor]
     cxm, cym = cam.pos[0], cam.pos[1]
     use_rays = params.opaque and params.retarded
-    route_ids = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
+    bases = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
+    route_ids = tuple(
+        4 * k + b for k in range(params.btz_windings + 1) for b in bases
+    )
 
     # NO view-hull culling: curved routes pass through off-screen regions,
     # and off-screen matter must still occlude them / show back-route images
@@ -887,7 +914,10 @@ def render_btz_brute(
         blocked, _ = jax.lax.scan(body, jnp.zeros_like(occ), fracs)
         return td, occ, best, blocked
 
-    route_ids = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
+    bases = (0, 1, 2, 3) if params.btz_reflections else (0, 1)
+    route_ids = tuple(
+        4 * k + b for k in range(params.btz_windings + 1) for b in bases
+    )
     passes = [route_pass(r) for r in route_ids]
     optics = [route_optics_xy(px, py, cxm, cym, hole, r) for r in route_ids]
 

@@ -111,6 +111,12 @@ class RenderParams:
     # emitter at longer delays.  Doubles the band searches and the
     # per-pixel route work; needs history >= the bounce delay in ticks.
     btz_reflections: bool = False
+    # BTZ mode only: extra full windings around the hole per route family —
+    # the 2+1 analog of higher-order photon-ring images (ops/btz.py
+    # _orbit_setup: route // 4 = winding).  k windings multiply the band
+    # searches and per-pixel route work by (k + 1); each winding's images
+    # arrive ~2 pi l / sqrt(M)-class delays later, so history must cover it.
+    btz_windings: int = 0
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
     # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on

@@ -667,3 +667,125 @@ def test_btz_reflected_image_render():
         n_samples=32))
     mismatch = np.mean(np.any(np.abs(on - oracle) > 0.05, axis=-1))
     assert mismatch < 0.03, mismatch
+
+
+# ---------------------------------------------------------------------------
+# Higher-winding routes (route // 4 = extra turns around the hole — the 2+1
+# photon-ring analog)
+
+
+def test_winding_delay_matches_quadrature():
+    """The closed-form delay holds at separations beyond 2 pi (winding
+    orbits): same f64 BVP + trapezoid oracle, dphi + 2 pi k."""
+    rng = np.random.default_rng(23)
+    M, l = 0.02, 0.4
+    r_h = l * np.sqrt(M)
+    for _ in range(12):
+        ra = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        rb = float(rng.uniform(1.5 * r_h, 6.0 * r_h))
+        base = float(rng.uniform(0.1, 2.0 * np.pi - 0.1))
+        for k in (1, 2):
+            dphi = base + 2.0 * np.pi * k
+            want = _delay_quadrature(ra, rb, dphi, M, l, n=400_000)
+            got = float(btz.btz_null_delay(
+                jnp.float32(ra), jnp.float32(rb), jnp.float32(dphi),
+                jnp.float32(M), jnp.float32(l)))
+            np.testing.assert_allclose(got, want, rtol=2e-3)
+            # each winding is strictly slower than the one below it
+            below = float(btz.btz_null_delay(
+                ra, rb, dphi - 2.0 * np.pi, M, l))
+            assert got > below, (ra, rb, dphi)
+
+
+def test_winding_orbit_wraps_hole():
+    """sample_orbit on routes 4/5 (winding 1) sweeps 2 pi more than the
+    base route, starts at the camera, ends at the emitter, stays outside
+    the horizon, and its final delay equals route_delay_xy."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    r_h = float(hole.r_h)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.33, 0.1)]:
+        for route in (4, 5):
+            xs, ys, dl = btz.sample_orbit(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route, 8192)
+            xs, ys = np.asarray(xs), np.asarray(ys)
+            np.testing.assert_allclose([xs[0], ys[0]], cam, atol=1e-4)
+            np.testing.assert_allclose([xs[-1], ys[-1]], q, atol=1e-4)
+            r = np.hypot(xs, ys)
+            assert r.min() > r_h  # winding orbits stay exterior
+            # unwrapped polar sweep exceeds 2 pi (it circles the hole)
+            ang = np.unwrap(np.arctan2(ys, xs))
+            assert np.abs(ang[-1] - ang[0]) > 2.0 * np.pi
+            end = float(btz.route_delay_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route))
+            np.testing.assert_allclose(float(dl[-1]), end, rtol=1e-3)
+            # slower than the same-parity base route
+            direct = float(btz.route_delay_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route - 4))
+            assert end > direct
+
+
+def test_winding_reflected_orbit_single_bounce():
+    """Winding + reflection (routes 6/7): the continued orbit still crosses
+    u = 0 exactly once (multi-bounce is impossible — _orbit_setup), while
+    sweeping more than 2 pi."""
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    cam = (0.1, -0.35)
+    for q in [(0.3, 0.25), (-0.2, -0.3)]:
+        for route in (6, 7):
+            ob = btz._orbit_setup(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route)
+            mu, dphi = float(ob["mu"]), float(ob["dphi"])
+            assert dphi > 2.0 * np.pi
+            phi = np.linspace(0.0, dphi, 200_000)
+            u = float(ob["A"]) * np.exp(mu * phi) + float(ob["B"]) * np.exp(
+                -mu * phi)
+            assert u[0] > 0 and u[-1] < 0
+            assert np.sum(np.diff(np.sign(u)) != 0) == 1  # ONE bounce
+            end = float(btz.route_delay_xy(
+                jnp.float32(q[0]), jnp.float32(q[1]),
+                jnp.float32(cam[0]), jnp.float32(cam[1]), hole, route))
+            assert np.isfinite(end) and end > 0
+
+
+def test_winding_image_render():
+    """btz_windings=1 adds photon-ring-class image area (a MOVING emitter:
+    winding images show it ~700-850 ticks further back, a visibly older
+    position — static emitters would alias onto the direct image) and
+    agrees with the winding-aware brute oracle."""
+    body = scene.disc_softbody(4, 0, (0.25, -0.3), (0.0, 0.1))
+    sb = scene.SceneBuilder()
+    sb.add(body, base_color=(0.2, 0.9, 0.3))
+    particles, objects = sb.build(capacity=256)
+    # winding-1 delays at this geometry are ~690-850 ticks (route_delay_xy):
+    # the ring must reach past them or the winding images have no worldline
+    buf = wl.create(1024, particles.capacity)
+    p0 = particles.pos
+    for k in range(1024):
+        t = k * H
+        buf = wl.push_frame(
+            buf, dataclasses.replace(particles, pos=p0 + particles.vel * t),
+            time=t)
+    cam = Camera.create(pos=(-0.35, 0.0), zoom=1.4)
+    base = raytrace.RenderParams(dt=H, opaque=False)
+    params = dataclasses.replace(
+        base, cell_px=raytrace.auto_cell_px(base, 64, 64, 1.4))
+    hole = btz.BTZBlackHole.create(center=(0.0, 0.0), mass=0.02, ads_l=0.4)
+    off = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole, 64, 64, params))
+    pwind = dataclasses.replace(params, btz_windings=1)
+    on = np.asarray(btz.render_btz_xray(
+        buf, particles.object_index, objects, cam, hole, 64, 64, pwind))
+    n_off = (off.min(-1) < 0.9).sum()
+    n_on = (on.min(-1) < 0.9).sum()
+    assert n_off > 0
+    assert n_on > n_off, (n_off, n_on)
+    oracle = np.asarray(btz.render_btz_brute(
+        buf, particles.object_index, objects, cam, hole, 64, 64, pwind,
+        n_samples=32))
+    mismatch = np.mean(np.any(np.abs(on - oracle) > 0.05, axis=-1))
+    assert mismatch < 0.03, mismatch
