@@ -525,8 +525,25 @@ def route_delays_xy(qx, qy, cx, cy, hole: BTZBlackHole):
     return t1, t2
 
 
+def _select_optics(params: RenderParams):
+    """(route_optics, route_delay) per params.btz_exact_spin: the O(J^2)
+    slow-rotation closed forms (default) or the full rotating-metric solve
+    (ops/btz_exact.py; exact to |J| < M l, ~100x the evaluation cost)."""
+    if not params.btz_exact_spin:
+        return route_optics_xy, route_delay_xy
+    from . import btz_exact
+
+    def optics(qx, qy, cx, cy, hole, route):
+        b, d, nx, ny, _fb = btz_exact.exact_route_optics_xy(
+            qx, qy, cx, cy, hole, route)
+        return b, d, nx, ny
+
+    return optics, btz_exact.exact_route_delay_xy
+
+
 def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
-                n_rays: int, ray_chunk: int = 8192, routes=(0, 1)):
+                n_rays: int, ray_chunk: int = 8192, routes=(0, 1),
+                optics=None):
     """1D occlusion retina over ARRIVAL BEARING at the camera: every pair
     whose event is cone-consistent with a route (emitted at t_now - that
     route's delay) scatter-mins its delay into the bearing bins covering its
@@ -563,7 +580,10 @@ def _btz_retina(pairs: PairData, cam, t_now, hole: BTZBlackHole, dt, rho,
         )
 
     for route in routes:
-        beta, delay = arrival_bearing_xy(ex, ey, cxm, cym, hole, route)
+        if optics is None:
+            beta, delay = arrival_bearing_xy(ex, ey, cxm, cym, hole, route)
+        else:
+            beta, delay, _, _ = optics(ex, ey, cxm, cym, hole, route)
         # cone gate: the event really was emitted one route-delay ago
         # (slack: the crossing lies within the tick + capsule radius)
         slack = 1.5 * dt + (rho + half_sweep) * delay / jnp.maximum(chart_d, 1e-6)
@@ -614,13 +634,14 @@ def _render_btz_impl(
     route_ids = tuple(
         4 * k + b for k in range(params.btz_windings + 1) for b in bases
     )
+    optics_fn, delay_fn = _select_optics(params)
 
     # NO view-hull culling: curved routes pass through off-screen regions,
     # and off-screen matter must still occlude them / show back-route images
     plist = []
     band_truncated = jnp.int32(0)
     for r in route_ids:
-        fn = lambda qx, qy, _r=r: route_delay_xy(qx, qy, cxm, cym, hole, _r)
+        fn = lambda qx, qy, _r=r: delay_fn(qx, qy, cxm, cym, hole, _r)
         p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
                                height, params, route_lengths=fn,
                                cull_hull=False)
@@ -653,7 +674,9 @@ def _render_btz_impl(
     n_rays = params.num_rays
     if use_rays:
         retina = _btz_retina(pairs, cam, t_now, hole, dt, rho, n_rays,
-                             ray_chunk=params.ray_chunk, routes=route_ids)
+                             ray_chunk=params.ray_chunk, routes=route_ids,
+                             optics=optics_fn if params.btz_exact_spin
+                             else None)
         retina_rows = jnp.broadcast_to(retina[:, None], (n_rays, 8))
 
     pxs, pys = _cell_pixel_coords(width, height, cam, params)
@@ -667,7 +690,7 @@ def _render_btz_impl(
         )
         routes = []
         for r in route_ids:
-            beta, td, nex, ney = route_optics_xy(px, py, cxm, cym, hole, r)
+            beta, td, nex, ney = optics_fn(px, py, cxm, cym, hole, r)
             occ, win = _occupancy_cells(px, py, t_now - td, vdat, vok, dt, rho)
             occ = occ & (td < _BIG)
             if use_rays:
@@ -870,12 +893,20 @@ def render_btz_brute(
     rp = jnp.sqrt((px - hx) ** 2 + (py - hy) ** 2)
     rc = jnp.sqrt((cxm - hx) ** 2 + (cym - hy) ** 2)
 
+    optics_fn, delay_fn = _select_optics(params)
+
     def route_pass(route):
-        # same _orbit_setup as the fast path: sign/clip conventions shared
+        # same _orbit_setup as the fast path: sign/clip conventions shared.
+        # With btz_exact_spin the ROUTE DELAY is the exact-metric solve;
+        # the occlusion walk keeps the static orbit SHAPE (O(J) deviation,
+        # absorbed by the walk's capsule margin like the fast retina's)
         ob = _orbit_setup(px, py, cxm, cym, hole, route)
         dphi, s = ob["dphi"], ob["s"]
         phi_c, A, B = ob["phi_c"], ob["A"], ob["B"]
-        td = _null_delay_u(ob["u_c"], ob["u_q_bvp"], dphi, M, l)
+        if params.btz_exact_spin:
+            td = delay_fn(px, py, cxm, cym, hole, route)
+        else:
+            td = _null_delay_u(ob["u_c"], ob["u_q_bvp"], dphi, M, l)
         inside, dist2 = _occupancy_xy(
             px[:, None], py[:, None], (t_now - td)[:, None],
             fax[None], fay[None], fbx[None], fby[None], fta[None], dt, rho,
@@ -919,7 +950,7 @@ def render_btz_brute(
         4 * k + b for k in range(params.btz_windings + 1) for b in bases
     )
     passes = [route_pass(r) for r in route_ids]
-    optics = [route_optics_xy(px, py, cxm, cym, hole, r) for r in route_ids]
+    optics = [optics_fn(px, py, cxm, cym, hole, r) for r in route_ids]
 
     # earliest-arrival winner across K routes (ties -> lower route index,
     # matching the fast path's selection)

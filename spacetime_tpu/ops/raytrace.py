@@ -117,6 +117,12 @@ class RenderParams:
     # searches and per-pixel route work by (k + 1); each winding's images
     # arrive ~2 pi l / sqrt(M)-class delays later, so history must cover it.
     btz_windings: int = 0
+    # BTZ mode only: solve the FULL rotating metric per route
+    # (ops/btz_exact.py: closed-form integrals + branch-bracketed
+    # bisection) instead of the O(J^2) slow-rotation model — exact at any
+    # |J| < M l, including near-extremal spins where the drag model breaks
+    # down.  ~100x the delay-evaluation cost (still dense VPU math).
+    btz_exact_spin: bool = False
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
     # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on
