@@ -266,8 +266,8 @@ class Engine:
         # identities are part of the key; each cache entry pins the captured
         # objects (below) so a recycled id can never alias a stale program
         key = (rparams, self.config.render_mode, self.config.steps_per_frame,
-               self.model, id(self.materials), id(self.aloof_bodies),
-               id(self.present))
+               self.config.wl3d, self.model, id(self.materials),
+               id(self.aloof_bodies), id(self.present))
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}

@@ -322,6 +322,31 @@ def config_btz_spinning() -> EngineConfig:
         config_btz_hole(), btz=((0.5, 0.5), 0.03, 0.45, 0.004))
 
 
+def config_btz_extremal() -> EngineConfig:
+    """Near-extremal rotating BTZ (J = 89% of M l) rendered with the EXACT
+    rotating-metric solver (ops/btz_exact.py; the slow-rotation model's
+    O(J^2) error is no longer negligible here).  Frame dragging at this
+    spin visibly skews the co-/counter-rotating image pair."""
+    base = config_btz_hole()
+    return dataclasses.replace(
+        base,
+        btz=((0.5, 0.5), 0.03, 0.45, 0.012),
+        render=dataclasses.replace(base.render, btz_exact_spin=True),
+    )
+
+
+def config_btz_photon_ring() -> EngineConfig:
+    """BTZ with winding-1 routes: photon-ring-class images that circle the
+    hole once before reaching the camera (~700-850 ticks extra delay at
+    this geometry — the history must reach past it)."""
+    base = config_btz_hole()
+    return dataclasses.replace(
+        base,
+        render=dataclasses.replace(base.render, btz_windings=1),
+        history=1024,
+    )
+
+
 def config_worldline3d() -> EngineConfig:
     """3D spacetime view of a two-body collision: the worldline ring drawn
     as an (x, y, t) block seen side-on (the reference's worldline3d.glsl
@@ -350,6 +375,8 @@ CONFIGS = {
     "btz_hole": config_btz_hole,
     "btz_reflected": config_btz_reflected,
     "btz_spinning": config_btz_spinning,
+    "btz_extremal": config_btz_extremal,
+    "btz_photon_ring": config_btz_photon_ring,
     "png_demo": config_png_demo,
     "two_body_collision": config_two_body_collision,
     "flagship_1080p": config_flagship_1080p,

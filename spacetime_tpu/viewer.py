@@ -9,7 +9,8 @@ streaming plus the native frame sink.
 
 Controls (matching reference keyboard.rs, plus hotswap keys):
   a/d/w/s pan, z/x zoom, p pause, q quit,
-  +/- raise/lower the live max-FPS target (debugui.rs:89-101 analog).
+  +/- raise/lower the live max-FPS target (debugui.rs:89-101 analog),
+  [/] and {/} spin the 3D spacetime view (worldline3d mode only).
 
 `run_viewer(engine, max_frames=N, script=fn, show=False)` drives the same
 loop headlessly (Agg backend) — the scripted-key test path.
@@ -45,6 +46,27 @@ def apply_key(keys: dict, engine: Engine, key: Optional[str], down: bool) -> Non
         engine.hotswap["max_fps"] = min(engine.hotswap["max_fps"] * 1.25, 1000.0)
     elif key == "-" and down:
         engine.hotswap["max_fps"] = max(engine.hotswap["max_fps"] / 1.25, 1.0)
+    elif (key in ("[", "]", "{", "}") and down
+          and engine.config.render_mode == "worldline3d"):
+        # spin the 3D spacetime view: azimuth [ ], elevation { }.  The view
+        # params bake into the compiled frame; they are part of the fused-
+        # cache key, so revisited angles reuse compiled programs (the FIFO
+        # keeps the last few).
+        import dataclasses
+        import math
+
+        w = engine.config.wl3d
+        if key == "[":
+            w = dataclasses.replace(w, azimuth=w.azimuth - 0.2)
+        elif key == "]":
+            w = dataclasses.replace(w, azimuth=w.azimuth + 0.2)
+        elif key == "{":
+            w = dataclasses.replace(
+                w, elevation=max(w.elevation - 0.15, 0.0))
+        else:
+            w = dataclasses.replace(
+                w, elevation=min(w.elevation + 0.15, math.pi / 2))
+        engine.config = dataclasses.replace(engine.config, wl3d=w)
 
 
 def run_viewer(

@@ -103,7 +103,8 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_baseline_configs_constructible():
     for name in ("single_blob", "two_body_collision", "flagship_1080p",
                  "accelerated_camera", "conical_defect", "btz_hole",
-                 "rindler_horizon", "png_demo", "worldline3d"):
+                 "rindler_horizon", "png_demo", "worldline3d",
+                 "btz_extremal", "btz_photon_ring"):
         cfg = get_config(name)
         assert cfg.width > 0 and cfg.history > 0
     with pytest.raises(KeyError):

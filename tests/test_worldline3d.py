@@ -170,3 +170,43 @@ def test_engine_mode_end_to_end():
     eng.paused = True
     arr2 = np.asarray(eng.run_frame())
     assert arr2.shape == (64, 64, 3)
+
+
+def test_viewer_spin_keys():
+    """[/]/{/} keys rotate the 3D view live (recompile-on-change; the view
+    params are part of the fused-frame cache key)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.ops.raytrace import RenderParams
+    from spacetime_tpu.utils.config import EngineConfig, SceneSpec
+    from spacetime_tpu.viewer import run_viewer
+
+    eng = Engine(
+        EngineConfig(
+            scene=SceneSpec(
+                bodies=(("disc", 30, (0.45, 0.45), (0.2, 0.0), (0.2, 0.2, 1.0)),),
+                capacity=256,
+            ),
+            render=RenderParams(num_rays=128),
+            width=48,
+            height=48,
+            history=32,
+            render_mode="worldline3d",
+        )
+    )
+    az0 = eng.config.wl3d.azimuth
+    el0 = eng.config.wl3d.elevation
+
+    def script(frame):
+        if frame == 0:
+            return [("]", True)]
+        if frame == 1:
+            return [("{", True)]
+        return []
+
+    n = run_viewer(eng, max_frames=3, script=script, show=False)
+    assert n == 3
+    assert eng.config.wl3d.azimuth > az0
+    assert eng.config.wl3d.elevation < el0
