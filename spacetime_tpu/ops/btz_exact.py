@@ -156,9 +156,10 @@ def _path(xc, xq, k, M, l, J, branch: str, xt_exact=None):
         pb, tb = _seg(xt_s, xq, k, M, l, J, 1.0, beta=beta)
         return jnp.where(ok, pa + pb, nan), ta + tb
     if branch == "bounce":
-        # down-leg pericenter above xq blocks arrival (would bounce again)
-        blocked = (beta < 0) & (xt > xq)
-        ok = (alpha > 0) & (rr2c > 0) & (rr2q > 0) & ~blocked
+        # NOTE: a pericenter "blocking" the down-leg is the same condition
+        # as rr2q < 0 (x_t > xq <=> alpha xq + beta < 0), so rr2 positivity
+        # at both endpoints is the complete validity condition
+        ok = (alpha > 0) & (rr2c > 0) & (rr2q > 0)
         pa, ta = _seg(xc, xc, k, M, l, J, 1.0, to_inf=True, beta=beta)
         pb, tb = _seg(xq, xq, k, M, l, J, 1.0, to_inf=True, beta=beta)
         # boundary legs: (xc -> inf, sr +1) then (inf -> xq, sr -1); the
@@ -339,28 +340,18 @@ def _solve_exact(xc, xq, dphi, M, l, J):
 
 
 def _solve_exact_bounce(xc, xq, dphi, M, l, J):
-    """Reflected-route exact solve (one AdS-boundary bounce).  The valid k
-    interval can be split by the pericenter-block strip (k_apo_edge(xq),
-    J/M); bisect both sub-brackets."""
+    """Reflected-route exact solve (one AdS-boundary bounce).  Validity is
+    exactly rdot^2 > 0 at both endpoints (a pericenter "blocking" the
+    down-leg is the same condition as rr2(xq) < 0 — x_t > xq <=>
+    alpha xq + beta < 0), so the valid k interval is a single bracket."""
     l32 = jnp.float32(l) if not hasattr(l, "dtype") else l
     tiny = 1e-4 * jnp.sqrt(jnp.maximum(M, _EPS)) * l32
     hi_all = jnp.minimum(
         jnp.minimum(_k_edge_rr2(xc, M, l, J), _k_edge_rr2(xq, M, l, J)),
         l32,
     ) * (1.0 - 1e-6)
-    k_blk_lo = _k_apo_edge(xq, M, l, J)  # block strip start
-    k_blk_hi = jnp.where(M > 0, J / jnp.maximum(M, _EPS), 0.0)
-    has_strip = (J > 0) & (k_blk_lo < k_blk_hi) & (k_blk_lo < hi_all)
-
-    hi1 = jnp.where(has_strip, jnp.minimum(k_blk_lo * (1 - 1e-6), hi_all),
-                    hi_all)
-    k1, t1, v1 = _bisect(xc, xq, dphi, M, l, J, "bounce", tiny, hi1)
-    lo2 = jnp.where(has_strip, jnp.minimum(k_blk_hi * (1 + 1e-6), hi_all),
-                    hi_all)
-    k2, t2, v2 = _bisect(xc, xq, dphi, M, l, J, "bounce", lo2, hi_all)
-    k = jnp.where(v1, k1, k2)
-    t = jnp.where(v1, t1, t2)
-    return k, t, jnp.ones_like(k), -jnp.ones_like(k), v1 | v2
+    k, t, v = _bisect(xc, xq, dphi, M, l, J, "bounce", tiny, hi_all)
+    return k, t, jnp.ones_like(k), -jnp.ones_like(k), v
 
 
 def exact_route_optics_xy(qx, qy, cx, cy, hole, route: int):
@@ -397,7 +388,10 @@ def exact_route_optics_xy(qx, qy, cx, cy, hole, route: int):
     alpha = 1.0 - (k * k) / (l * l)
     beta = k * (M * k - Jm)
 
-    def tangent(x, ang, sr, flip_u: bool):
+    def tangent(x, ang, sr):
+        # the exact machinery integrates PHYSICAL x > 0 with explicit legs
+        # (no signed-u continuation), so the endpoint radial sign sr_e
+        # already encodes reflected/turned arrivals — no -u branch flip
         rr2 = jnp.maximum(alpha + beta / x, 0.0)
         rdot = sr * jnp.sqrt(rr2)
         phid = (k * x - l * l * (M * k - Jm / 2.0)) / (
@@ -410,9 +404,9 @@ def exact_route_optics_xy(qx, qy, cx, cy, hole, route: int):
 
     ang_c = ob["phi_c"]
     ang_q = ob["phi_c"] + s * dphi
-    vx, vy = tangent(xc, ang_c, sr_c, False)
+    vx, vy = tangent(xc, ang_c, sr_c)
     bearing = jnp.arctan2(vy, vx)
-    tx, ty = tangent(xq, ang_q, sr_e, reflected)
+    tx, ty = tangent(xq, ang_q, sr_e)
     inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty, _EPS))
     nex, ney = -tx * inv, -ty * inv
 

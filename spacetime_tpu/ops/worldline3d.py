@@ -35,6 +35,7 @@ from ..state import Objects
 from .worldline import WorldlineBuffer
 
 _BG = jnp.int32(1) << 28  # > any packed sample (depth 12 | rgb 15 = 27 bits)
+_ON_SCREEN_SENTINEL = 1e30  # masks off-screen samples out of the depth range
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,10 +84,13 @@ def render_worldline3d(
     col0 = buf.cursor + 1 + (t_cap - a_all)  # slice rows hold ages A-1 .. 0
     stride = max(1, params.age_stride)
 
-    # dense (A, N) component planes straight off the mirrored ring
-    sx = jax.lax.dynamic_slice(buf.pos_x, (col0, 0), (a_all, n))[::stride]
-    sy = jax.lax.dynamic_slice(buf.pos_y, (col0, 0), (a_all, n))[::stride]
-    age = jnp.arange(a_all - 1, -1, -1, dtype=jnp.float32)[::stride, None]
+    # dense (A, N) component planes straight off the mirrored ring; the
+    # stride anchors at the NEWEST row (age 0 — the present-time front face
+    # of the block must always draw), so offset by (a_all-1) % stride
+    off = (a_all - 1) % stride
+    sx = jax.lax.dynamic_slice(buf.pos_x, (col0, 0), (a_all, n))[off::stride]
+    sy = jax.lax.dynamic_slice(buf.pos_y, (col0, 0), (a_all, n))[off::stride]
+    age = jnp.arange(a_all - 1, -1, -1, dtype=jnp.float32)[off::stride, None]
 
     # tick spacing from the ring's stored times (newest two slots); prefill
     # rings carry uniform spacing so this is exact
@@ -122,10 +126,16 @@ def render_worldline3d(
     yi = jnp.round(v * scale + (height - 1) / 2.0).astype(jnp.int32)
     inside = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
 
-    # quantized depth: half-range bound |depth| <= spatial extent + t extent
-    half = cam.zoom + a_all * tick * params.time_scale + 1e-6
+    # quantized depth, normalized to the DRAWN samples' actual range: a
+    # fixed zoom-based bound clamps at low elevation (|yr| is unconstrained
+    # by the screen there), and clamped samples would occlude by packed
+    # color instead of nearness
+    big = jnp.float32(_ON_SCREEN_SENTINEL)
+    d_lo = jnp.min(jnp.where(inside, depth, big))
+    d_hi = jnp.max(jnp.where(inside, depth, -big))
+    span = jnp.maximum(d_hi - d_lo, 1e-6)
     dq = jnp.clip(
-        jnp.round((depth / half * 0.5 + 0.5) * 4095.0), 0.0, 4095.0
+        jnp.round((depth - d_lo) / span * 4095.0), 0.0, 4095.0
     ).astype(jnp.int32)
 
     # per-sample color: object base color faded toward white with lookback

@@ -27,9 +27,9 @@ _BG_ALPHA = 0.62
 _PAD = 6
 
 
-def _render_lines(lines: Iterable[str]) -> np.ndarray:
-    """Rasterize text lines to a (H, W) uint8 mask using PIL's default
-    bitmap font at 1x (crisp pixels; upscaled by the caller)."""
+def _render_lines(lines: Iterable[str]) -> "tuple[np.ndarray, int]":
+    """Rasterize text lines to ((H, W) uint8 mask, line height in px)
+    using PIL's default bitmap font at 1x (upscaled by the caller)."""
     from PIL import Image, ImageDraw, ImageFont
 
     font = ImageFont.load_default()
@@ -103,7 +103,8 @@ def stats_lines(engine) -> List[str]:
     """The debug-UI panel text for one frame (reference: debugui.rs:64-83
     labels, plus the per-stage FramePerfStats display and render settings)."""
     s = engine.stats.summary()
-    max_fps = float(engine.hotswap["max_fps"])
+    # same zero guard as the engine's own pacing loop
+    max_fps = max(float(engine.hotswap["max_fps"]), 1e-3)
     lines = [
         "Profiling",
         f"Frame Duration Minimum: {1000.0 / max_fps:.2f}ms (max fps {max_fps:.0f})",

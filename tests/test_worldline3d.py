@@ -210,3 +210,41 @@ def test_viewer_spin_keys():
     assert n == 3
     assert eng.config.wl3d.azimuth > az0
     assert eng.config.wl3d.elevation < el0
+
+
+def test_age_stride_keeps_newest_tick():
+    """Strided views must still draw age 0 (the present-time front face),
+    whatever (a_all-1) % stride is."""
+    def traj(i):
+        return [(0.3 + 0.02 * i, 0.5, 0.0, 0.0, 0)]
+
+    p = _particles(traj(15))
+    buf = _buf(traj, capacity=16)  # a_all=16 -> (a_all-1) % 4 = 3
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.6)
+    params = Worldline3DParams(azimuth=0.0, elevation=0.0, time_scale=4.0,
+                               fade=0.0, shell_only=False, age_stride=4)
+    img, _ = _render(buf, p, cam, params)
+    ys, xs = np.nonzero((img < 0.99).any(axis=-1))
+    # the newest sample (x=0.6, age 0) sits at u=(0.6-0.5)*106.7+31.5 ~ 42,
+    # v ~ 31.5 (rt=0)
+    assert ((np.abs(xs - 42) <= 1) & (np.abs(ys - 32) <= 1)).any(), (
+        list(zip(xs, ys)))
+
+
+def test_depth_order_beyond_zoom_range():
+    """Depth normalization must rank samples far outside the zoom window:
+    at edge-on elevation |yr| is unconstrained by the screen, and a fixed
+    zoom-based depth bound would clamp both and let packed COLOR decide."""
+    # same x; red at y=+5 is nearer the +y viewer than blue at y=+2
+    rows = [(0.5, 5.5, 0.0, 0.0, 0), (0.5, 2.5, 0.0, 0.0, 1)]
+    p = _particles(rows)
+    buf = _buf(lambda i: rows)
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.1)
+    params = Worldline3DParams(azimuth=0.0, elevation=0.0, time_scale=10.0,
+                               fade=0.0, shell_only=False)
+    img, _ = _render(buf, p, cam, params)
+    hits = np.argwhere((img < 0.99).any(axis=-1))
+    assert len(hits) > 0
+    near_color = np.array([1.0, 0.2, 0.2])  # red must win
+    for (y, x) in hits[:8]:
+        assert np.abs(img[y, x] - near_color).max() <= 1.0 / 31 + 1e-6
