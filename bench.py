@@ -318,4 +318,17 @@ if __name__ == "__main__":
     elif _args.diff:
         sys.exit(_cmd_diff(_args))
     else:
-        main()
+        try:
+            main()
+        except Exception as exc:
+            # the driver parses stdout as ONE JSON line; a dead TPU tunnel
+            # (axon init failure) must yield a parsable zero-row, not a
+            # traceback (round 3: the tunnel went down mid-round)
+            print(json.dumps({
+                "metric": "fused 10k-particle step + 1080p retarded-time render",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }))
+            raise SystemExit(0)
