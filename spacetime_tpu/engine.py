@@ -61,6 +61,11 @@ def build_scene(spec: SceneSpec):
             )
         else:
             raise ValueError(f"unknown body kind {kind!r}")
+        if i >= len(mat_idx):
+            raise ValueError(
+                f"scene.material_indices has {len(mat_idx)} entries for "
+                f"{len(spec.bodies)} bodies — provide one per body"
+            )
         sb.add(body, base_color=rgb, material_index=mat_idx[i])
     return sb.build(spec.capacity)
 
@@ -162,6 +167,8 @@ class Engine:
         self._pair_boost = 0  # pair_budget doublings (curved routes overflow)
         self._retina_boost = 0  # retina_budget doublings (boundary overflow)
         self._entry_boost = 0  # entry_budget doublings (splat-slice overflow)
+        self._points_wmax = 96  # points-mode rasterizer window cap
+        # (adapts like the collision wmax on PointsDiag.window_truncated)
         # Prime the FULL history with inertially-extrapolated past states (the
         # reference's analog is its pre-frame-0 warm-up, main.rs:137-153;
         # without this, retarded visibility would ramp in over `history`
@@ -265,8 +272,13 @@ class Engine:
         # the compiled closure bakes in materials/aloof/present, so their
         # identities are part of the key; each cache entry pins the captured
         # objects (below) so a recycled id can never alias a stale program
+        # every config field the closure bakes in must key the cache:
+        # btz/defect geometry would otherwise go silently stale if
+        # engine.config is replaced between frames (review r3)
         key = (rparams, self.config.render_mode, self.config.steps_per_frame,
-               self.config.wl3d, self.model, id(self.materials),
+               self.config.wl3d, self.config.btz, self.config.defect,
+               self.config.defect_vel, self.config.defect_retarded,
+               self._points_wmax, self.model, id(self.materials),
                id(self.aloof_bodies), id(self.present))
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
@@ -283,6 +295,12 @@ class Engine:
             dataclasses.replace(rparams, opaque=False, retarded=False)
             if mode == "instant" else rparams
         )
+        # same config validation render() performs — the fused path must
+        # not turn a missing spec into an opaque TypeError (review r3)
+        if mode == "btz" and cfg.btz is None:
+            raise ValueError("render_mode='btz' requires config.btz")
+        if mode == "conical" and cfg.defect is None:
+            raise ValueError("render_mode='conical' requires config.defect")
         hole = self._btz_hole() if mode == "btz" else None
         defects_at = self._defects if mode == "conical" else None
 
@@ -324,7 +342,7 @@ class Engine:
                 if backend == "pallas":
                     img, diag = points_pallas.render_points_pallas(
                         particles, objects, cam, cfg.width, cfg.height,
-                        interpret=interp,
+                        wmax=self._points_wmax, interpret=interp,
                     )
                 else:
                     img = rasterize.render_points(
@@ -484,7 +502,8 @@ class Engine:
 
                 img, self.last_diag = points_pallas.render_points_pallas(
                     self.particles, self.objects, self.camera,
-                    cfg.width, cfg.height, interpret=interp,
+                    cfg.width, cfg.height, wmax=self._points_wmax,
+                    interpret=interp,
                 )
                 return img
             return rasterize.render_points(
@@ -580,6 +599,13 @@ class Engine:
             )
         out = []
         for ((cx, cy), deficit), (vx, vy) in zip(specs, vels):
+            if vx * vx + vy * vy >= 1.0:
+                # the retarded-time quadratic divides by v^2 - 1 and its
+                # root choice assumes |v| < c; quasi-static superluminal
+                # defects are unphysical anyway
+                raise ValueError(
+                    f"defect velocity ({vx}, {vy}) is not below c"
+                )
             if cfg.defect_retarded and (vx != 0.0 or vy != 0.0):
                 # retarded time: |c0 + v t_r - cam| = t - t_r
                 qx = cx - cam.pos[0]
@@ -715,12 +741,23 @@ class Engine:
                     )
         diag = self.last_diag
         if diag is not None and not hasattr(diag, "band_truncated"):
-            # points mode: PointsDiag only carries the window truncation
+            # points mode: PointsDiag only carries the window truncation;
+            # adapt like the collision wmax (double to a ceiling, recompile)
             wt = int(diag.window_truncated)
-            if wt > 0:
+            _PTS_WMAX_CEIL = 2048
+            if wt > 0 and self._points_wmax < _PTS_WMAX_CEIL:
+                self._points_wmax = min(self._points_wmax * 2,
+                                        _PTS_WMAX_CEIL)
+                self._fused_cache = {}  # wmax bakes into the compiled frame
                 self.log.warning(
                     "%d point entries beyond the rasterizer window cap: "
-                    "pixels dropped (raise points wmax)", wt,
+                    "raising points wmax to %d (recompile)", wt,
+                    self._points_wmax,
+                )
+            elif wt > 0:
+                self.log.warning(
+                    "%d point entries beyond the rasterizer window cap at "
+                    "the ceiling (%d): pixels dropped", wt, self._points_wmax,
                 )
             diag = None
         if diag is not None:
@@ -770,22 +807,12 @@ class Engine:
                         cap_now,
                     )
             budget = self.config.render.pair_budget
-            if budget > 0:
-                eff_budget = budget << self._pair_boost
-                if int(diag.pairs_used) > eff_budget:
-                    if self._pair_boost < 4:
-                        self._pair_boost += 1
-                        self.log.warning(
-                            "%d cone-crossing pairs exceed pair_budget %d: "
-                            "doubling to %d (recompile)",
-                            int(diag.pairs_used), eff_budget, eff_budget * 2,
-                        )
-                    else:
-                        self.log.warning(
-                            "%d cone-crossing pairs exceed pair_budget %d at "
-                            "the adaptation ceiling: occupancy/occlusion may "
-                            "drop surfaces", int(diag.pairs_used), eff_budget,
-                        )
+            if budget > 0 and int(diag.pairs_used) > (budget << self._pair_boost):
+                self._grow_budget(
+                    "_pair_boost", budget, int(diag.pairs_used),
+                    "cone-crossing pairs exceed pair_budget",
+                    "occupancy/occlusion may drop surfaces",
+                )
             if bool(diag.cell_too_small):
                 self.log.warning(
                     "view cells smaller than capsule reach: splat coverage "
@@ -793,35 +820,38 @@ class Engine:
                 )
             rd = diag.retina_dropped
             if rd is not None and int(rd) > 0:
-                rb = self.config.render.retina_budget
-                if rb > 0 and self._retina_boost < 4:
-                    # double like pair_budget: converges in <= 4 recompiles
-                    self._retina_boost += 1
-                    self.log.warning(
-                        "%d boundary pairs beyond retina_budget: raising it "
-                        "to %d (recompile)", int(rd),
-                        rb << self._retina_boost,
-                    )
-                else:
-                    self.log.warning(
-                        "%d boundary pairs beyond retina_budget: occlusion "
-                        "may miss surfaces", int(rd),
-                    )
+                self._grow_budget(
+                    "_retina_boost", self.config.render.retina_budget,
+                    int(rd), "boundary pairs beyond retina_budget",
+                    "occlusion may miss surfaces",
+                )
             ed = getattr(diag, "entry_dropped", None)
             if ed is not None and int(ed) > 0:
-                eb = self.config.render.entry_budget
-                if eb > 0 and self._entry_boost < 4:
-                    self._entry_boost += 1
-                    self.log.warning(
-                        "%d valid splat entries beyond entry_budget: raising "
-                        "it to %d (recompile)", int(ed),
-                        eb << self._entry_boost,
-                    )
-                else:
-                    self.log.warning(
-                        "%d valid splat entries beyond entry_budget: whole "
-                        "view cells may be missing", int(ed),
-                    )
+                self._grow_budget(
+                    "_entry_boost", self.config.render.entry_budget,
+                    int(ed), "valid splat entries beyond entry_budget",
+                    "whole view cells may be missing",
+                )
+
+    def _grow_budget(self, boost_attr: str, base: int, count: int,
+                     what: str, consequence: str) -> None:
+        """Shared budget-doubling adaptation (pair/retina/entry budgets):
+        double up to 4 boosts (each recompiles), then warn at the ceiling.
+        The boost is applied by _render_params as `base << boost`."""
+        if base <= 0:
+            return
+        boost = getattr(self, boost_attr)
+        if boost < 4:
+            setattr(self, boost_attr, boost + 1)
+            self.log.warning(
+                "%d %s: raising the budget to %d (recompile)",
+                count, what, base << (boost + 1),
+            )
+        else:
+            self.log.warning(
+                "%d %s at the adaptation ceiling: %s", count, what,
+                consequence,
+            )
 
     def run(
         self,
