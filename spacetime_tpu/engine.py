@@ -110,10 +110,12 @@ class Engine:
 
         # initial sorted-window cap from measured row density (VERDICT r2
         # #6: no more hand-tuning; _check_diag grows it on truncation)
+        from .models.softbody import default_bin_resolution
+
         _defaults = SoftbodyModel.__dataclass_fields__
         wmax0 = fp.suggest_wmax(
             particles.pos, particles.active,
-            _defaults["bin_resolution"].default,
+            default_bin_resolution(config.physics),
             tile=_defaults["tile"].default,
         )
         self.model = SoftbodyModel(

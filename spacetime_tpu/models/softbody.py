@@ -22,6 +22,14 @@ from ..ops import rk4 as rk4_ops
 from ..state import Particles
 
 
+def default_bin_resolution(params: PhysicsParams) -> float:
+    """Pallas sorted-window binning resolution for a physics config:
+    0.002 is the measured optimum at the default collision_distance
+    (PERF.md round-3 sweep), floored by collision_distance so window
+    coverage can never break on custom physics."""
+    return max(0.002, float(params.collision_distance))
+
+
 @dataclasses.dataclass(frozen=True)
 class SoftbodyModel:
     """Static config + compiled step for a fixed particle capacity."""
@@ -57,7 +65,10 @@ class SoftbodyModel:
     # (twoplusone/mod.rs:24; the XLA fallback path keeps that value —
     # its dense cell table scales with cell count, the sorted windows
     # don't).  The kernel grid dim rescales to keep the same live extent.
-    bin_resolution: float = 0.002
+    # None derives max(0.002, params.collision_distance) at step time so a
+    # custom collision_distance can never under-resolve the binning (the
+    # kernel asserts bin_resolution >= collision_distance).
+    bin_resolution: Optional[float] = None
     # one kernel span per grid row instead of a merged 3-row window: wins
     # when rows are DENSE (the 2^20 capacity scene: ~4k particles/row makes
     # the merged window ~8 DMA chunks of mostly-far candidates); loses at
@@ -102,8 +113,15 @@ class SoftbodyModel:
             split_windows=self.split_windows,
             pallas_interpret=self.pallas_interpret,
             shard=self.shard,
-            bin_resolution=self.bin_resolution,
+            bin_resolution=self._bres(),
         )
+
+    def _bres(self) -> float:
+        """Pallas binning resolution: explicit value, or derived so a
+        custom collision_distance can never under-resolve the bins."""
+        if self.bin_resolution is not None:
+            return self.bin_resolution
+        return default_bin_resolution(self.params)
 
     @partial(jax.jit, static_argnames=("self", "n_steps"))
     def step_n(self, particles: Particles, n_steps: int, materials=None
@@ -128,7 +146,7 @@ class SoftbodyModel:
                 split_windows=self.split_windows,
                 pallas_interpret=self.pallas_interpret,
                 shard=self.shard,
-                bin_resolution=self.bin_resolution,
+                bin_resolution=self._bres(),
             )
             return p, aux
 

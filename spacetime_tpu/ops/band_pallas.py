@@ -50,7 +50,8 @@ _R = 256  # sweep rows per DMA chunk (leading-dim groups of 8)
 
 
 def _band_kernel(  # noqa: C901
-    scal_ref,  # SMEM (8,) f32: col0, hi0, base_col, cx, cy, dt, thresh, a_sw
+    scal_ref,  # SMEM (7,) f32: col0, hi0, base_col, cx, cy, dt, thresh
+    # (a_sw reaches the kernel as a STATIC kwarg, not a scalar slot)
     px_hbm, py_hbm, vx_hbm, vy_hbm,  # (2T/8, 8, N) ANY
     a0_ref, alast_ref,  # (1, L) i32 out
     wx_ref, wy_ref, wvx_ref, wvy_ref,  # (w, L) f32 out
@@ -231,7 +232,6 @@ def cone_band_window_pallas(
     scal = jnp.stack([
         col0.astype(jnp.float32), hi0.astype(jnp.float32),
         base_col.astype(jnp.float32), cx, cy, dt, thresh,
-        jnp.float32(a_sw),
     ])
     kernel = functools.partial(
         _band_kernel, w=w, a_sw=a_sw, erows=erows, eb=eb, band=band, t2=t2,

@@ -362,6 +362,12 @@ class ViewTables(NamedTuple):
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 
+def _euclid_route(cx, cy):
+    """Flat-spacetime route length: the Euclidean chord to the camera (the
+    default light-cone metric; curved modes pass their own closed forms)."""
+    return lambda qx, qy: jnp.sqrt((qx - cx) ** 2 + (qy - cy) ** 2)
+
+
 def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
                       cam=None):
     """Find each particle's cone-crossing tick band and fetch its window.
@@ -404,11 +410,26 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
     # --- fused Pallas band kernel (Euclidean route, TPU backends): streams
     # the position planes ONCE for search + extraction (ops/band_pallas.py)
     backend, interpret = _resolve_backend(params)
+    w = band + 1
+
+    def _window_cols(a0):
+        """Window start columns + per-column ages for a band start a0 —
+        shared by the Pallas and XLA branches (parity-critical indexing)."""
+        start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
+        ages = base_col - (
+            start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        return start_col, ages
+
+    # the kernel's extraction buffer needs eb history rows — mirror its own
+    # assert so an oversized band falls back to the XLA sweep instead of
+    # tripping a trace-time AssertionError (review r3)
+    _erows = max(16, ((band + 1 + 8 + 7) // 8) * 8)
     if (
         params.band_kernel
         and cam is not None and route_lengths is None and backend == "pallas"
         and a_sw % 128 == 0 and n % 256 == 0 and (2 * t_cap) % 8 == 0
-        and 2 * t_cap >= 32
+        and 2 * t_cap >= _erows + 8
     ):
         from . import band_pallas
 
@@ -420,18 +441,11 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
             a_sw=a_sw, band=band, interpret=interpret,
         )
         truncated = jnp.sum((alast >= a0 + band).astype(jnp.int32))
-        w = band + 1
-        start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
-        ages = base_col - (
-            start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
-        )
+        _, ages = _window_cols(a0)
         return a0, hi0, truncated, (wx, wy, wvx, wvy, ages)
 
     if route_lengths is None:
-        cxm, cym = cam.pos[0], cam.pos[1]
-        route_lengths = lambda qx, qy: jnp.sqrt(
-            (qx - cxm) ** 2 + (qy - cym) ** 2
-        )
+        route_lengths = _euclid_route(cam.pos[0], cam.pos[1])
 
     # --- dense cone sweep over the swept rows (time-major planes) ---
     sx = jax.lax.dynamic_slice(buf.pos_x, (col0, 0), (a_sw, n))
@@ -447,8 +461,7 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
     truncated = jnp.sum((a_last >= a0 + band).astype(jnp.int32))
 
     # --- window fetch: ages [a0+band-1 .. a0-1] as ascending columns ---
-    w = band + 1
-    start_col = jnp.clip(base_col - (a0 + band - 1), 0, 2 * t_cap - w)
+    start_col, ages = _window_cols(a0)
     # window column j (mirrored coords start_col + j) sits at slice row
     # c0 + j; rows outside the slice (clipped starts / age >= A / age < 0)
     # extract as 0 and are masked by the age-range validity downstream
@@ -467,9 +480,6 @@ def _cone_band_window(buf: WorldlineBuffer, route_lengths, params: RenderParams,
     wy = window(sy)
     wvx = window(svx)
     wvy = window(svy)
-    ages = base_col - (
-        start_col[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
-    )
     return a0, hi0, truncated, (wx, wy, wvx, wvy, ages)
 
 
@@ -509,7 +519,7 @@ def _band_pairs(
         buf, route_lengths, params, cam=cam
     )
     if route_lengths is None:
-        route_lengths = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
+        route_lengths = _euclid_route(cxm, cym)
 
     # segment j: older endpoint = window[:, j] (age a_j), younger = [:, j+1]
     qax, qay = wx[:, :band], wy[:, :band]
@@ -1178,7 +1188,7 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     dt, rho, band = params.dt, params.rho, params.band
     n = buf.num_particles
     cxm, cym = cam.pos[0], cam.pos[1]
-    route = lambda qx, qy: jnp.sqrt((qx - cxm) ** 2 + (qy - cym) ** 2)
+    route = _euclid_route(cxm, cym)
     _a0, hi0, _trunc, (wx, wy, wvx, wvy, ages) = _cone_band_window(
         buf, None, params, cam=cam
     )
