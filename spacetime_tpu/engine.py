@@ -221,6 +221,12 @@ class Engine:
             np.concatenate([obj, a_obj]),
             capacity=cap,
         )
+        if particles.rest_len is not None:
+            # preserve evolved plastic-creep state through the re-pack
+            # (aloof + padding rows are bondless, values unread)
+            rl = np.zeros((cap, nbr.shape[1]), np.float32)
+            rl[:n_soft] = np.asarray(particles.rest_len)[act]
+            new = dataclasses.replace(new, rest_len=jnp.asarray(rl))
         # aloof slots are render-present but physics-inactive
         active = np.zeros(cap, bool)
         active[:n_soft] = True

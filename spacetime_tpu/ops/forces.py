@@ -375,7 +375,6 @@ def creep_rest_lengths_shifted(px, py, neighbors, offsets, rest_len,
     the same shifted-slice masking as spring_forces_shifted."""
     n = px.shape[0]
     iota = jnp.arange(n, dtype=neighbors.dtype)
-    y = 0.0 if yield_strain is None else yield_strain
     cols = []
     for s, ds in enumerate(offsets):
         col = neighbors[:, s]

@@ -128,6 +128,8 @@ def rk4_step(
     h = params.h
     pos0, vel0 = particles.pos, particles.vel
     nbr, m = particles.neighbors, particles.rest_mass
+    if particles.rest_len is not None:  # plastic-creep state overrides slots
+        rest_lengths = particles.rest_len
 
     def F(pos):
         return forces_ops.total_forces(pos, nbr, cand_idx, cand_valid, rest_lengths, params)
@@ -179,6 +181,8 @@ def euler_step(
     reference: softbody/mod.rs:598-626; kernel softbodyrk4.glsl:155-165).
     Note position advances with the OLD velocity; no clamp, no bond breaking.
     """
+    if particles.rest_len is not None:  # plastic-creep state overrides slots
+        rest_lengths = particles.rest_len
     f = forces_ops.total_forces(
         particles.pos, particles.neighbors, cand_idx, cand_valid, rest_lengths, params
     )
@@ -242,9 +246,10 @@ def physics_step(
         # (finer rows -> fewer candidates per window); the kernel grid dim
         # rescales so the live extent is unchanged
         bres = bin_resolution if bin_resolution else params.grid_resolution
-        assert bres >= params.collision_distance - 1e-9, (
-            "bin_resolution below collision_distance breaks window coverage"
-        )
+        if bres < params.collision_distance - 1e-9:
+            raise ValueError(
+                "bin_resolution below collision_distance breaks window coverage"
+            )
         bdim = max(1, int(round(grid_dim * params.grid_resolution / bres)))
         cell, _origin = grid_ops.cell_ids(
             pos0, particles.active, bres, bdim
@@ -364,6 +369,21 @@ def physics_step(
     # stretched past their yield strain at the step's START positions
     # permanently lengthen toward the current length
     new_rest = particles.rest_len
+    if (
+        materials is not None
+        and getattr(materials, "creep_rate", None) is not None
+        and new_rest is None
+    ):
+        # Auto-initializing here would change the output pytree structure
+        # (breaking lax.scan carries and sharded-step in_shardings), so
+        # surface the misconfiguration loudly instead — trace-time only.
+        from ..utils import logging as stlog
+
+        stlog.get().warning(
+            "materials.creep_rate is set but particles.rest_len is None; "
+            "plastic creep is DISABLED — call state.with_rest_len(particles, "
+            "params.rest_lengths) before stepping"
+        )
     if (
         materials is not None
         and getattr(materials, "creep_rate", None) is not None

@@ -117,7 +117,8 @@ def make_sharded_frame(
         )
     elif render_params.backend in ("auto", "pallas"):
         render_params = dataclasses.replace(render_params, backend="xla")
-    p_shard = particle_sharding(mesh, axis)
+    wrl = materials is not None and getattr(materials, "creep_rate", None) is not None
+    p_shard = particle_sharding(mesh, axis, with_rest_len=wrl)
     b_shard = worldline_sharding(mesh, axis)
     rep = replicated(mesh)
     img_shard = NamedSharding(mesh, P(axis))  # rows of the image

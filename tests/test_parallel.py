@@ -206,3 +206,74 @@ def test_sharded_frame_collective_bytes_bounded():
     assert total <= limit, (
         f"all-gather volume {total} B exceeds budget {limit} B"
     )
+
+
+def test_sharded_frame_with_creep_materials():
+    """Regression (round-3 review): make_sharded_frame must include the
+    rest_len plane in its particle shardings when a creeping material is
+    configured — it used to build shardings with rest_len=None, which
+    structurally mismatches a creep-carrying state and errors on first
+    call.  Parity vs the single-device step + creep actually evolves."""
+    from spacetime_tpu.ops import materials as materials_ops
+    from spacetime_tpu.state import with_rest_len
+
+    particles, objects, model, buf, params = _setup()
+    rest = model.params.rest_lengths()
+    particles = with_rest_len(particles, rest)
+    n = particles.capacity
+    mats = materials_ops.ParticleMaterials(
+        k_scale=None, damping=None, break_scale=None,
+        creep_rate=jnp.full((n,), 50.0), yield_strain=jnp.full((n,), 0.0),
+    )
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.5)
+
+    p1, _ = model.step(particles, mats)
+    b1 = wl.push_frame(buf, p1, 0.005)
+
+    m = mesh_mod.make_mesh(4)
+    p_sh, b_sh = sharding.shard_state(particles, buf, m)
+    frame = sharding.make_sharded_frame(
+        model, objects, params, 48, 48, m, materials=mats,
+        production_kernels=False,
+    )
+    p2, b2, img2 = frame(p_sh, b_sh, cam, jnp.float32(0.005))
+    assert p2.rest_len is not None
+    np.testing.assert_allclose(
+        np.asarray(p1.pos), np.asarray(p2.pos), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1.rest_len), np.asarray(p2.rest_len), rtol=1e-6
+    )
+
+
+def test_rk4_step_honors_state_rest_lengths():
+    """Regression (round-3 review): rk4_step / euler_step must use the
+    per-bond rest_len state (plastic creep) over the static slot argument,
+    matching physics_step's override."""
+    from spacetime_tpu.ops import rk4 as rk4_ops
+    from spacetime_tpu.state import with_rest_len
+
+    particles, objects, model, buf, params = _setup()
+    rest = model.params.rest_lengths()
+    # evolved creep state: every bond 1.5x its slot constant
+    p_creep = with_rest_len(particles, rest)
+    p_creep = dataclasses.replace(p_creep, rest_len=p_creep.rest_len * 1.5)
+
+    cand_idx = jnp.zeros((particles.capacity, 1), jnp.int32)
+    cand_valid = jnp.zeros((particles.capacity, 1), bool)
+    out_state, _ = rk4_ops.rk4_step(
+        p_creep, model.params, jnp.asarray(rest), cand_idx, cand_valid
+    )
+    # oracle: explicitly pass the per-bond plane on a rest_len-free state
+    p_plain = dataclasses.replace(p_creep, rest_len=None)
+    out_oracle, _ = rk4_ops.rk4_step(
+        p_plain, model.params, p_creep.rest_len, cand_idx, cand_valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.pos), np.asarray(out_oracle.pos), rtol=1e-6
+    )
+    # and the override actually changes the dynamics vs the slot constants
+    out_slots, _ = rk4_ops.rk4_step(
+        p_plain, model.params, jnp.asarray(rest), cand_idx, cand_valid
+    )
+    assert not np.allclose(np.asarray(out_state.vel), np.asarray(out_slots.vel))
