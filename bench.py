@@ -212,15 +212,16 @@ def _run_session(eng, events_or_n, record_path=None):
             times.append(time.perf_counter() - t0)
         rec.close()
     else:
-        def on_frame(i, img):
-            pass
+        # canonical event interpretation lives in replay_events; time each
+        # frame as the delta between successive on_frame callbacks
+        t_last = [time.perf_counter()]
 
-        for ev in events_or_n:
-            if "hotswap" in ev:
-                eng.hotswap.update(ev["hotswap"])
-            t0 = time.perf_counter()
-            eng.run_frame(keys=ev.get("keys"))
-            times.append(time.perf_counter() - t0)
+        def on_frame(i, img):
+            now = time.perf_counter()
+            times.append(now - t_last[0])
+            t_last[0] = now
+
+        replay_mod.replay_events(eng, events_or_n, on_frame=on_frame)
     jax.block_until_ready(eng._prev_img)
     # drop compile/adaptation warmup: steady state = last half
     steady = _np.asarray(times[len(times) // 2:])
@@ -287,15 +288,20 @@ def _cmd_diff(args):
         }
         for k in keys
     }
-    # regression = steady frame time worsened beyond noise
-    reg = (deltas["frame_avg_ms"]["delta_pct"] or 0.0) > args.threshold
+    # regression = steady frame time worsened beyond noise; a missing
+    # frame_avg_ms in either file is NOT a clean pass (a truncated/failed
+    # run must not green-light a CI gate) — report unknown, exit 2
+    d_frame = deltas["frame_avg_ms"]["delta_pct"]
+    reg = "unknown" if d_frame is None else bool(d_frame > args.threshold)
     print(json.dumps({
         "a": args.diff[0], "b": args.diff[1],
         "config": {"a": a.get("config"), "b": b.get("config")},
         "deltas": deltas,
-        "regression": bool(reg),
+        "regression": reg,
         "threshold_pct": args.threshold,
     }, indent=2))
+    if reg == "unknown":
+        return 2
     return 1 if reg else 0
 
 

@@ -438,10 +438,7 @@ def collision_forces_pallas(
     else:
         from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+        from ..utils.shmap import shard_map_nocheck
 
         mesh, axis = shard
         d = mesh.shape[axis]
@@ -468,13 +465,12 @@ def collision_forces_pallas(
             P(axis, None, None) if a.shape[0] == ntp else P(None, None, None)
             for a in targs
         )
-        fx_s, fy_s = shard_map(
+        fx_s, fy_s = shard_map_nocheck(
             run_kernel,
             mesh=mesh,
             in_specs=(P(None, axis), P(None, axis), P(None, axis))
             + tile_specs,
             out_specs=(P(axis, None, None), P(axis, None, None)),
-            check_vma=False,
         )(wrow, wlo, whi, *targs)
         fx_s = fx_s[:n_tiles]
         fy_s = fy_s[:n_tiles]

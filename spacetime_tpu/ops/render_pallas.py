@@ -286,10 +286,7 @@ def pixel_pass_pallas(
 
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map_nocheck
 
     mesh, axis = shard
     d = mesh.shape[axis]
@@ -310,12 +307,11 @@ def pixel_pass_pallas(
         scal9 = jnp.concatenate([scal, row_off[None].astype(jnp.float32)])
         return run(scal9, occ_loc, vdat_loc, sfpx_loc)
 
-    out = shard_map(
+    out = shard_map_nocheck(
         run_shard,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(None, None, axis), P(axis, None, None)),
         out_specs=P(None, axis, None, None),
-        check_vma=False,
     )(scal, occ_p, vdat_p, sfpx_p)
     return out[:, :hc]
 

@@ -100,6 +100,13 @@ def replay(engine, path: str, on_frame=None, strict: bool = True):
                 "replay config fingerprint mismatch — the log was recorded "
                 "under a different EngineConfig"
             )
+    return replay_events(engine, events, on_frame=on_frame)
+
+
+def replay_events(engine, events, on_frame=None):
+    """Apply pre-loaded frame events to `engine` — the single place the
+    recorded-input protocol (hotswap updates, per-frame keys) is interpreted;
+    bench.py --replay and replay() both drive through here."""
     img = None
     for ev in events:
         if "hotswap" in ev:

@@ -31,6 +31,11 @@ _PEAKS = {
 
 
 def chip_kind() -> str:
+    """Chip key for the `_PEAKS` table.  Unrecognized TPU kinds rate
+    against the v5e row (this project's bench chip — a stated assumption,
+    not a silent one: summary() prints the chip name).  Anything that is
+    neither a TPU nor a CPU (e.g. a GPU backend) returns "unknown", and
+    mfu/hbm_util report 0 rather than rating the wrong chip's peaks."""
     d = jax.devices()[0]
     kind = getattr(d, "device_kind", "") or ""
     k = kind.lower()
@@ -40,7 +45,11 @@ def chip_kind() -> str:
         return "v5p"
     if "v4" in k:
         return "v4"
-    return "cpu" if d.platform == "cpu" else "v5e"
+    if d.platform == "cpu":
+        return "cpu"
+    if d.platform == "tpu" or "tpu" in k:
+        return "v5e"  # assumed: the only TPU this repo benches on
+    return "unknown"
 
 
 class Roofline(NamedTuple):
@@ -59,12 +68,15 @@ class Roofline(NamedTuple):
 
     @property
     def mfu(self) -> float:
-        """Fraction of the chip's dense-matmul peak (absolute ceiling)."""
-        return self.achieved_flops / _PEAKS[self.chip]["flops_bf16"]
+        """Fraction of the chip's dense-matmul peak (absolute ceiling);
+        0 when the chip has no peak table entry."""
+        peaks = _PEAKS.get(self.chip)
+        return self.achieved_flops / peaks["flops_bf16"] if peaks else 0.0
 
     @property
     def hbm_util(self) -> float:
-        return self.achieved_Bps / _PEAKS[self.chip]["hbm_Bps"]
+        peaks = _PEAKS.get(self.chip)
+        return self.achieved_Bps / peaks["hbm_Bps"] if peaks else 0.0
 
     @property
     def arithmetic_intensity(self) -> float:
@@ -73,6 +85,13 @@ class Roofline(NamedTuple):
         return self.flops / self.bytes_accessed if self.bytes_accessed else 0.0
 
     def summary(self) -> str:
+        if self.chip not in _PEAKS:
+            return (
+                f"{self.flops/1e9:.2f} GFLOP, {self.bytes_accessed/1e9:.2f} GB "
+                f"per frame | achieved {self.achieved_flops/1e12:.3f} TFLOP/s, "
+                f"HBM {self.achieved_Bps/1e9:.0f} GB/s "
+                f"(no peak table for chip '{self.chip}' — utilization unrated)"
+            )
         return (
             f"{self.flops/1e9:.2f} GFLOP, {self.bytes_accessed/1e9:.2f} GB "
             f"per frame | achieved {self.achieved_flops/1e12:.3f} TFLOP/s "

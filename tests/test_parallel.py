@@ -23,6 +23,13 @@ def _setup(capacity=256, history=32):
     particles, objects = sb.build(capacity=capacity)
     model = SoftbodyModel(capacity=capacity)
     buf = wl.create(history, capacity)
+    # fill the WHOLE history (as Engine does): with only one pushed frame,
+    # every retarded ray misses and the frame renders all-white, making the
+    # image-parity assertions below vacuous
+    buf = wl.prefill_inertial(
+        buf, particles.pos, particles.vel, particles.active,
+        jnp.float32(0.0), jnp.float32(model.params.h),
+    )
     buf = wl.push_frame(buf, particles, 0.0)
     params = raytrace.RenderParams(num_rays=128)
     params = dataclasses.replace(
@@ -69,6 +76,8 @@ def test_sharded_frame_matches_single_device():
     p_sh, b_sh = sharding.shard_state(particles, buf, m)
     frame = sharding.make_sharded_frame(model, objects, params, w, h, m)
     p2, b2, img2 = frame(p_sh, b_sh, cam, jnp.float32(0.005))
+    # guard against vacuous parity: the scene must actually render pixels
+    assert (np.asarray(img1) < 0.999).any(), "test scene rendered all-white"
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p1.pos), np.asarray(p2.pos), rtol=1e-6)
 

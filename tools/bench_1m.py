@@ -157,10 +157,12 @@ def bench_frame(particles, objects, model, history=128,
         import numpy as np
         arr = np.asarray(
             jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
+        if arr.ndim == 3 and arr.shape[0] == 3:  # planar (3,H,W) -> (H,W,3)
+            arr = arr.transpose(1, 2, 0)
         Image.fromarray(arr).save("/tmp/frame_1m.png")
         print("# wrote /tmp/frame_1m.png", file=sys.stderr)
-    except Exception:
-        pass
+    except Exception as e:  # PNG dump is best-effort, but never silent
+        print(f"# frame PNG dump failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
