@@ -33,8 +33,10 @@ class SceneSpec:
     material_indices: Optional[Tuple[int, ...]] = None
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, kw_only=True)
 class EngineConfig:
+    # kw_only: `name` precedes `scene`, so positional construction would
+    # silently bind the SceneSpec to `name` — force keywords instead
     # registry key when built via get_config (replay sessions store it so
     # `bench.py --replay` can reconstruct the engine); "" for ad-hoc configs
     name: str = ""

@@ -128,7 +128,15 @@ def stats_lines(engine) -> List[str]:
     ]
     if parts:
         lines.append("Stages: " + "  ".join(parts))
-    n = int(np.asarray(engine.particles.active).sum())
+    # active-count readback is a blocking device->host transfer of the full
+    # mask; the count changes rarely (bond breaking only detaches, never
+    # deactivates) — cache and refresh every 30 frames to keep it out of
+    # the per-frame hot loop
+    cache = getattr(engine, "_overlay_nactive", None)
+    if cache is None or engine.frame - cache[0] >= 30:
+        cache = (engine.frame, int(np.asarray(engine.particles.active).sum()))
+        engine._overlay_nactive = cache
+    n = cache[1]
     lines.append(
         f"frame {engine.frame}  particles {n}  mode {engine.config.render_mode}"
         + ("  [paused]" if engine.paused else "")

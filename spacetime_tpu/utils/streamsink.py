@@ -157,6 +157,18 @@ class StreamSink:
                  bind: str = "127.0.0.1"):
         """`bind` defaults to loopback: the stream has no auth, so exposing
         it to the network is opt-in (bind='0.0.0.0')."""
+        # Resolve to a literal IPv4 address up front: the native server
+        # falls back to LOOPBACK whenever inet_pton fails (hostnames, IPv6),
+        # which would silently serve on 127.0.0.1 while the CLI prints the
+        # requested host.  Resolving here makes both backends behave the
+        # same and turns an unresolvable bind into a loud error.
+        import socket
+
+        try:
+            socket.inet_aton(bind)
+        except OSError:
+            bind = socket.gethostbyname(bind)
+        self.bind = bind
         self.width, self.height = width, height
         self._lib = _load()
         self._handle = None

@@ -49,23 +49,31 @@ def apply_key(keys: dict, engine: Engine, key: Optional[str], down: bool) -> Non
     elif (key in ("[", "]", "{", "}") and down
           and engine.config.render_mode == "worldline3d"):
         # spin the 3D spacetime view: azimuth [ ], elevation { }.  The view
-        # params bake into the compiled frame; they are part of the fused-
-        # cache key, so revisited angles reuse compiled programs (the FIFO
-        # keeps the last few).
+        # params bake into the compiled frame and are part of the fused-
+        # cache key — so angles are SNAPPED to exact step multiples and
+        # azimuth wraps mod 2pi: after a full turn (or any backtrack) the
+        # value repeats bit-exactly and the cached program is reused instead
+        # of recompiling on every keypress.
         import dataclasses
         import math
 
+        az_step, el_step = 0.2, 0.15
+
+        def _snap(x, step):
+            return round(round(x / step) * step, 10)
+
         w = engine.config.wl3d
-        if key == "[":
-            w = dataclasses.replace(w, azimuth=w.azimuth - 0.2)
-        elif key == "]":
-            w = dataclasses.replace(w, azimuth=w.azimuth + 0.2)
+        if key in ("[", "]"):
+            az = w.azimuth + (az_step if key == "]" else -az_step)
+            w = dataclasses.replace(
+                w, azimuth=_snap(az % (2 * math.pi), az_step))
         elif key == "{":
             w = dataclasses.replace(
-                w, elevation=max(w.elevation - 0.15, 0.0))
+                w, elevation=_snap(max(w.elevation - el_step, 0.0), el_step))
         else:
             w = dataclasses.replace(
-                w, elevation=min(w.elevation + 0.15, math.pi / 2))
+                w, elevation=_snap(min(w.elevation + el_step, math.pi / 2),
+                                   el_step))
         engine.config = dataclasses.replace(engine.config, wl3d=w)
 
 

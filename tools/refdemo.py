@@ -8,7 +8,6 @@ tools so benches and profiles run the SAME workload."""
 import os
 import sys
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
