@@ -90,6 +90,9 @@ def make_sharded_frame(
     axis: str = "d",
     materials=None,  # ops.materials.ParticleMaterials (replicated)
     production_kernels: bool = True,
+    render_mode: str = "retarded",  # retarded | conical | btz
+    defects=None,  # conical: quasi-static defect tuple(s) (replicated)
+    hole=None,  # btz: ops.btz.BTZBlackHole (replicated)
 ):
     """One fused frame — physics step + worldline push + retarded render —
     jitted over the mesh: particles and ring planes shard on the particle
@@ -103,18 +106,31 @@ def make_sharded_frame(
     (VERDICT r2 #2; round 2 forced the XLA fallbacks here).  On CPU meshes
     the kernels run in interpret mode.  `production_kernels=False` keeps
     the pure-XLA GSPMD path (useful as a parity oracle).
+
+    `render_mode` extends multi-chip to the curved spacetimes: "conical"
+    renders through ops.curved with the given `defects` (quasi-static —
+    retarded defect motion needs the engine's time-dependent placement),
+    "btz" through ops.btz with the given `hole`.  Both curved paths are
+    pure XLA (no Pallas pixel kernel exists for them single-chip either),
+    so GSPMD shards their pair tables over the particle axis; the
+    production-kernel COLLISION step still applies.
     """
+    if render_mode == "conical" and defects is None:
+        raise ValueError("render_mode='conical' requires defects")
+    if render_mode == "btz" and hole is None:
+        raise ValueError("render_mode='btz' requires hole")
     if production_kernels:
         interp = jax.default_backend() == "cpu"
         model = dataclasses.replace(
             model, use_pallas=True, shard=(mesh, axis),
             pallas_interpret=interp,
         )
-        render_params = dataclasses.replace(
-            render_params,
-            backend="pallas_interpret" if interp else "pallas",
-            shard=(mesh, axis),
-        )
+        if render_mode == "retarded":
+            render_params = dataclasses.replace(
+                render_params,
+                backend="pallas_interpret" if interp else "pallas",
+                shard=(mesh, axis),
+            )
     elif render_params.backend in ("auto", "pallas"):
         render_params = dataclasses.replace(render_params, backend="xla")
     wrl = materials is not None and getattr(materials, "creep_rate", None) is not None
@@ -126,10 +142,25 @@ def make_sharded_frame(
     def frame(particles: Particles, buf: wl.WorldlineBuffer, cam: Camera, t):
         particles, aux = model.step(particles, materials)
         buf = wl.push_frame(buf, particles, t)
-        img = raytrace.render_retarded(
-            buf, particles.object_index, objects, cam,
-            width, height, render_params,
-        )
+        if render_mode == "conical":
+            from ..ops import curved
+
+            img = curved.render_retarded_conical(
+                buf, particles.object_index, objects, cam, defects,
+                width, height, render_params,
+            )
+        elif render_mode == "btz":
+            from ..ops import btz as btz_ops
+
+            img, _diag = btz_ops.render_btz_with_diag(
+                buf, particles.object_index, objects, cam, hole,
+                width, height, render_params,
+            )
+        else:
+            img = raytrace.render_retarded(
+                buf, particles.object_index, objects, cam,
+                width, height, render_params,
+            )
         return particles, buf, img
 
     cam_shard = Camera(pos=rep, zoom=rep, vel=rep)
