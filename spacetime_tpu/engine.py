@@ -494,6 +494,13 @@ class Engine:
 
             ps = float(self.camera.zoom) / max(cfg.width, cfg.height)
             corner = 0.5 * ps * math.hypot(cfg.width, cfg.height)
+            if out.camera_frame:
+                # boosted view: the output rect's GROUND footprint extends up
+                # to gamma*(1+|v|) times the corner distance on the trailing
+                # side (ops/boost.py inverse-warp bound)
+                v = min(float(jnp.linalg.norm(jnp.asarray(self.camera.vel))),
+                        0.999)
+                corner *= (1.0 + v) / math.sqrt(1.0 - v * v)
             a = int(math.ceil(corner / cfg.physics.h)) + out.band + 8
             a = min(cfg.history, ((a + 127) // 128) * 128)
             if a < cfg.history:

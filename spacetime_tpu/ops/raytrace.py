@@ -125,6 +125,17 @@ class RenderParams:
     btz_exact_spin: bool = False
     opaque: bool = True  # False = x-ray: no occlusion shading
     retarded: bool = True  # False = instantaneous view of the newest tick
+    # camera-frame (boosted) map view: plot every past-cone event at its
+    # position in the camera's INSTANTANEOUS REST FRAME instead of the
+    # ground frame (ops/boost.py — the reference's archived observer-frame
+    # `Perspective` intent, object_archive.txt:20-99).  Exact closed-form
+    # invertible warp: pair splat centers warp forward, pixel query points
+    # warp back; occupancy/occlusion/shading all evaluate in ground
+    # coordinates, so no new approximation beyond the conservative splat
+    # reach stretch gamma*(1+|v|).  Requires retarded=True (an
+    # instantaneous boosted view would need a per-event simultaneity
+    # re-slice, which the ring stores no data for).  Flat spacetime only.
+    camera_frame: bool = False
     # pixel-pass backend: "auto" = Pallas kernel on TPU / XLA block map on
     # CPU; "pallas" / "pallas_interpret" / "xla" force a choice
     backend: str = "auto"
@@ -685,6 +696,18 @@ def _splat_keys(
         (pd[:, _F_BX] - pd[:, _F_AX]) ** 2 + (pd[:, _F_BY] - pd[:, _F_AY]) ** 2
     )
     reach = params.rho + 0.5 * seg
+    if params.camera_frame:
+        # camera-frame view: cells live in OUTPUT (boosted) coordinates, so
+        # splat the pair's warped center; a ground disc of radius `reach`
+        # maps inside a warped disc of radius stretch * reach (ops/boost.py)
+        from . import boost
+
+        wux, wuy = boost.warp_xy(
+            cx - cam.pos[0], cy - cam.pos[1], cam.vel[0], cam.vel[1]
+        )
+        cx = cam.pos[0] + wux
+        cy = cam.pos[1] + wuy
+        reach = reach * boost.stretch(cam.vel[0], cam.vel[1])
     cell_x = jnp.floor((cx - gx0) / lam).astype(jnp.int32)
     cell_y = jnp.floor((cy - gy0) / lam).astype(jnp.int32)
 
@@ -726,6 +749,10 @@ def _splat_keys(
     ).reshape(-1)
     # coverage constraint: 3x3 splat needs lam >= reach; 2x2 needs 2*reach
     min_lam = params.reach * (2.0 if params.splat_cells == 4 else 1.0)
+    if params.camera_frame:
+        from . import boost
+
+        min_lam = min_lam * boost.stretch(cam.vel[0], cam.vel[1])
     cell_too_small = lam < min_lam
     geom = (wc_img, hc_img, pixel_size, x0, y0)
     return key, val, wc, hc, geom, cell_too_small
@@ -949,6 +976,17 @@ def render_retarded_brute(
     pc = pixel_centers(width, height, cam)
     px = pc[..., 0].reshape(-1)
     py = pc[..., 1].reshape(-1)
+    if params.camera_frame:
+        # boosted view: pixels are camera-frame coordinates; recover the
+        # ground cone offset exactly (ops/boost.py) and evaluate everything
+        # else unchanged in ground coordinates
+        from . import boost
+
+        ox, oy = boost.unwarp_xy(
+            px - cam.pos[0], py - cam.pos[1], cam.vel[0], cam.vel[1]
+        )
+        px = cam.pos[0] + ox
+        py = cam.pos[1] + oy
     relx, rely = px - cam.pos[0], py - cam.pos[1]
     r = jnp.sqrt(relx * relx + rely * rely)
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
@@ -1227,12 +1265,23 @@ def _occlusion_ds(params: RenderParams) -> int:
     return ds if params.cell_px % ds == 0 else 1
 
 
-def _sfirst_lookup(s_first, gxq, gyq, x0, y0, pixel_size, cam, n_rays, off):
+def _sfirst_lookup(s_first, gxq, gyq, x0, y0, pixel_size, cam, n_rays, off,
+                   camera_frame: bool = False):
     """Retina value at the pixel/quad-center angles given by integer pixel
-    coords (gxq, gyq) + half-quad offset `off` (row gather — the fast class)."""
+    coords (gxq, gyq) + half-quad offset `off` (row gather — the fast class).
+
+    `camera_frame`: pixel coords are boosted-view coords; the retina bins by
+    GROUND bearing, so unwarp to the ground cone offset first (ops/boost.py).
+    """
     pxw = x0 + (gxq.astype(jnp.float32) + off) * pixel_size
     pyw = y0 + (gyq.astype(jnp.float32) + off) * pixel_size
-    phi = jnp.arctan2(pyw - cam.pos[1], pxw - cam.pos[0])
+    ox = pxw - cam.pos[0]
+    oy = pyw - cam.pos[1]
+    if camera_frame:
+        from . import boost
+
+        ox, oy = boost.unwarp_xy(ox, oy, cam.vel[0], cam.vel[1])
+    phi = jnp.arctan2(oy, ox)
     ri = jnp.clip(
         jnp.floor((phi + _PI) / (2 * _PI) * n_rays).astype(jnp.int32),
         0, n_rays - 1,
@@ -1285,7 +1334,8 @@ def _pixel_pass_pallas_path(
         gx = col * k + (p % kq) * ds
         gy = row * k + (p // kq) * ds
         sfq = _sfirst_lookup(
-            s_first, gx, gy, x0, y0, pixel_size, cam, n_rays, (ds - 1) * 0.5
+            s_first, gx, gy, x0, y0, pixel_size, cam, n_rays, (ds - 1) * 0.5,
+            camera_frame=params.camera_frame,
         )
         if ds > 1:
             sfq = sfq.reshape(hc_img, kq, 1, kq, 1, wcp)
@@ -1307,6 +1357,7 @@ def _pixel_pass_pallas_path(
         rho=params.rho, dt=params.dt,
         doppler_strength=params.doppler_strength, ambient=params.ambient,
         absorbed_dim=params.absorbed_dim, shadow=params.shadow,
+        camera_frame=params.camera_frame,
         interpret=interpret, shard=params.shard,
     )
     img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
@@ -1327,11 +1378,21 @@ def _render_retarded_impl(
     dt, rho = params.dt, params.rho
     t_now = buf.times[buf.cursor]
     use_rays = params.opaque and params.retarded
+    if params.camera_frame and not params.retarded:
+        raise ValueError(
+            "camera_frame requires retarded=True (the boosted view is a warp"
+            " of the past light cone; an instantaneous boosted view would"
+            " need a per-event simultaneity re-slice)"
+        )
 
     retina_dropped = None
     if params.retarded:
         pairs_raw, band_truncated = _band_pairs(
-            buf, obj_index, objects, cam, t_now, width, height, params
+            buf, obj_index, objects, cam, t_now, width, height, params,
+            # the view-hull cull reasons in ground coordinates; the boosted
+            # view's ground footprint extends past the output rect (like the
+            # curved routes), so disable it there
+            cull_hull=not params.camera_frame,
         )
         if (
             use_rays
@@ -1390,6 +1451,14 @@ def _render_retarded_impl(
     cb = params.cells_per_block
     n_blocks = pxs.shape[0] // cb
     cxm, cym = cam.pos[0], cam.pos[1]
+    if params.camera_frame:
+        # pixels address boosted-view coordinates; every downstream test
+        # (occupancy, cone radius, shading direction) runs on the GROUND
+        # query point, recovered by the closed-form inverse warp
+        from . import boost
+
+        gqx, gqy = boost.unwarp_xy(pxs - cxm, pys - cym, cam.vel[0], cam.vel[1])
+        pxs, pys = cxm + gqx, cym + gqy
 
     if use_rays:
         s_first = _retina(rpairs, cam, t_now, params)
@@ -1408,7 +1477,8 @@ def _render_retarded_impl(
         gx = (ci % _wc) * k + (pj % kq) * ds
         gy = (ci // _wc) * k + (pj // kq) * ds
         sfq = _sfirst_lookup(
-            s_first, gx, gy, x0_, y0_, ps_, cam, n_rays, (ds - 1) * 0.5
+            s_first, gx, gy, x0_, y0_, ps_, cam, n_rays, (ds - 1) * 0.5,
+            camera_frame=params.camera_frame,
         )
         if ds > 1:
             sfq = sfq.reshape(n_cells_pad, kq, 1, kq, 1)

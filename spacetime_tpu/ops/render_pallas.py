@@ -59,6 +59,7 @@ def _pixel_kernel(
     ambient: float,
     absorbed_dim: float,
     shadow: float,
+    camera_frame: bool,
 ):
     # scal[8] is the GLOBAL row offset of this program's first cell row —
     # 0 single-chip; under shard_map each chip's program_id(0) restarts at 0
@@ -79,6 +80,16 @@ def _pixel_kernel(
     gy = r_id * k + p // k
     pxw = x0 + gx.astype(jnp.float32) * pixel_size
     pyw = y0 + gy.astype(jnp.float32) * pixel_size
+
+    if camera_frame:
+        # boosted-view pixels -> ground query points via the closed-form
+        # inverse warp (ops/boost.py; pure jnp, Pallas-safe).  Everything
+        # below (cone radius, occupancy, shading direction) is ground-frame.
+        from . import boost
+
+        ox, oy = boost.unwarp_xy(pxw - cxm, pyw - cym, cvx, cvy)
+        pxw = cxm + ox
+        pyw = cym + oy
 
     relx = pxw - cxm
     rely = pyw - cym
@@ -203,7 +214,7 @@ def _shade_group(
     static_argnames=(
         "k", "cap", "hc", "wgroups", "use_rays", "retarded", "doppler",
         "beaming", "rho", "dt", "doppler_strength", "ambient", "absorbed_dim",
-        "shadow", "interpret", "shard",
+        "shadow", "camera_frame", "interpret", "shard",
     ),
 )
 def pixel_pass_pallas(
@@ -225,6 +236,7 @@ def pixel_pass_pallas(
     ambient: float,
     absorbed_dim: float,
     shadow: float,
+    camera_frame: bool = False,
     interpret: bool = False,
     shard: "tuple | None" = None,  # (Mesh, axis): shard cell rows over chips
 ) -> jax.Array:
@@ -240,7 +252,7 @@ def pixel_pass_pallas(
         k=k, cap=cap, wgroups=wgroups, use_rays=use_rays, retarded=retarded,
         doppler=doppler, beaming=beaming, rho=rho, dt=dt,
         doppler_strength=doppler_strength, ambient=ambient,
-        absorbed_dim=absorbed_dim, shadow=shadow,
+        absorbed_dim=absorbed_dim, shadow=shadow, camera_frame=camera_frame,
     )
 
     def wrapped(*refs):

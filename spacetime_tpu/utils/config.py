@@ -172,6 +172,31 @@ def config_accelerated_camera() -> EngineConfig:
     )
 
 
+def config_boosted_observer() -> EngineConfig:
+    """Camera-frame (boosted) map view: a fast camera flies between two
+    blobs; the view plots every past-cone event in the camera's
+    INSTANTANEOUS REST FRAME (ops/boost.py — the reference's archived
+    observer-frame `Perspective` intent, object_archive.txt:20-99).
+    Approaching matter appears stretched away (gamma*(1+v) radially ahead),
+    receding matter compressed — the classical retarded-observer picture."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(3000, (0.55, 0.30), (0.0, 0.0), BLUE),
+                _blob(3000, (0.05, 0.55), (0.0, 0.0), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.25, 0.5),
+        cam_vel=(0.5, 0.0),
+        # bin_capacity pre-sized 256: the warped splat's stretched reach
+        # densifies bins (measured: 128 adapts to 256 at frame ~180)
+        render=RenderParams(bin_capacity=256, camera_frame=True),
+    )
+
+
 def config_conical_defect() -> EngineConfig:
     """BASELINE config 5 (stretch): curved 2+1 spacetime — geodesic rays
     around a conical-defect mass (see ops.curved)."""
@@ -383,6 +408,7 @@ CONFIGS = {
     "two_body_collision": config_two_body_collision,
     "flagship_1080p": config_flagship_1080p,
     "accelerated_camera": config_accelerated_camera,
+    "boosted_observer": config_boosted_observer,
     "conical_defect": config_conical_defect,
     "plastic_collision": config_plastic_collision,
     "rindler_horizon": config_rindler_horizon,

@@ -10,7 +10,8 @@ streaming plus the native frame sink.
 Controls (matching reference keyboard.rs, plus hotswap keys):
   a/d/w/s pan, z/x zoom, p pause, q quit,
   +/- raise/lower the live max-FPS target (debugui.rs:89-101 analog),
-  [/] and {/} spin the 3D spacetime view (worldline3d mode only).
+  [/] and {/} spin the 3D spacetime view (worldline3d mode only),
+  o toggle the camera-frame (boosted observer) map view (retarded mode).
 
 `run_viewer(engine, max_frames=N, script=fn, show=False)` drives the same
 loop headlessly (Agg backend) — the scripted-key test path.
@@ -46,6 +47,18 @@ def apply_key(keys: dict, engine: Engine, key: Optional[str], down: bool) -> Non
         engine.hotswap["max_fps"] = min(engine.hotswap["max_fps"] * 1.25, 1000.0)
     elif key == "-" and down:
         engine.hotswap["max_fps"] = max(engine.hotswap["max_fps"] / 1.25, 1.0)
+    elif (key == "o" and down and engine.config.render_mode == "retarded"
+          and engine.config.render.retarded):
+        # camera-frame (boosted observer) map view toggle (ops/boost.py).
+        # Part of the static RenderParams -> keyed into the fused cache, so
+        # flipping back reuses the previously compiled program.
+        import dataclasses
+
+        r = engine.config.render
+        engine.config = dataclasses.replace(
+            engine.config,
+            render=dataclasses.replace(r, camera_frame=not r.camera_frame),
+        )
     elif (key in ("[", "]", "{", "}") and down
           and engine.config.render_mode == "worldline3d"):
         # spin the 3D spacetime view: azimuth [ ], elevation { }.  The view
