@@ -10,6 +10,11 @@ Peaks are per-chip datasheet numbers; the default table covers the v5e
 (TPU v5 lite) this project benches on.  XLA's flop count is the *algorithmic*
 count of the compiled HLO (post-fusion, pre-padding), so mfu here is a lower
 bound: lane-padding waste makes the hardware do more raw work than counted.
+Conversely "bytes accessed" is the cost model's static operand count, which
+still bills accesses that fusion keeps VMEM-resident — an UPPER bound on true
+HBM traffic, so hbm_util can legitimately read above 100% on heavily fused
+programs (it means "the program reuses more data than HBM could stream", not
+a measurement error).  Trace-derived per-op times remain the ground truth.
 """
 
 from __future__ import annotations
@@ -97,7 +102,8 @@ class Roofline(NamedTuple):
             f"per frame | achieved {self.achieved_flops/1e12:.3f} TFLOP/s "
             f"({100*self.mfu:.2f}% of {self.chip} bf16 peak), "
             f"HBM {self.achieved_Bps/1e9:.0f} GB/s "
-            f"({100*self.hbm_util:.1f}% of peak), "
+            f"({100*self.hbm_util:.1f}% of peak; static-count bytes — "
+            f"VMEM-resident reuse included, may exceed 100%), "
             f"intensity {self.arithmetic_intensity:.1f} flop/B"
         )
 
