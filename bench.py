@@ -79,6 +79,10 @@ def build():
         dt=model.params.h, num_rays=4096, pair_budget=32768, bin_capacity=64,
         cell_px=16, occlusion_downsample=2, ray_chunk=8192,
         retina_budget=8192, max_age=160,  # view corner 0.69 ls = 138 ticks
+        # 111k valid splat entries measured at frame 120 (18% headroom);
+        # without the slice the bin scatter + splat sort run over the full
+        # 4*pair_budget = 524k rows — 1.3 ms of the 8 ms frame
+        entry_budget=131072,
     )
 
     def frame(particles, buf, cam, t):

@@ -54,6 +54,15 @@ class CameraController:
         )
 
 
+def stack_cameras(cams) -> Camera:
+    """Stack a sequence of Cameras into one batched Camera pytree (leaves
+    gain a leading B axis) for `raytrace.render_views`."""
+    cams = list(cams)
+    if not cams:
+        raise ValueError("stack_cameras needs at least one camera")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
 def pixel_centers(width: int, height: int, cam: Camera) -> jax.Array:
     """Ground-frame positions of pixel centers, (H, W, 2).
 

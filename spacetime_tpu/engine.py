@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import scene as scene_mod
+from . import camera
 from .camera import Camera, CameraController
 from .models.softbody import SoftbodyModel
 from .ops import rasterize, raytrace
@@ -577,6 +578,29 @@ class Engine:
             )
             return img
         raise ValueError(f"unknown render mode {mode!r}")
+
+    def render_views(self, cams) -> jax.Array:
+        """Render the CURRENT worldline state from several observers in one
+        jitted program: (B, H, W, 3).  `cams` is a sequence of Camera (or an
+        already-stacked batched Camera).  Flat-spacetime modes only
+        (retarded/instant) — curved routes have per-defect geometry that is
+        not camera-batched.  See raytrace.render_views."""
+        cfg = self.config
+        mode = cfg.render_mode
+        if mode not in ("retarded", "instant"):
+            raise ValueError(
+                f"render_views supports retarded/instant modes, not {mode!r}"
+            )
+        rparams = self._render_params()
+        if mode == "instant":
+            rparams = dataclasses.replace(rparams, opaque=False, retarded=False)
+        if isinstance(cams, (list, tuple)):
+            cams = camera.stack_cameras(cams)
+        return raytrace.render_views(
+            self.worldline, self.particles.object_index, self.objects,
+            cams, cfg.width, cfg.height, rparams,
+            boundary=wl.boundary_mask(self.particles),
+        )
 
     def _btz_hole(self):
         from .ops import btz as btz_ops

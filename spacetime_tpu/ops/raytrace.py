@@ -1547,6 +1547,37 @@ def render_retarded(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
+def render_views(
+    buf: WorldlineBuffer,
+    obj_index: jax.Array,
+    objects: Objects,
+    cams: Camera,  # batched Camera pytree — leaves carry a leading B axis
+    width: int,
+    height: int,
+    params: RenderParams,
+    planar: bool = False,
+    boundary=None,
+) -> jax.Array:
+    """Multi-observer batch: B cameras over ONE stored worldline ring in a
+    single traced program, returning (B, H, W, 3) (or (B, 3, H, W) planar).
+
+    The body (band search → binning → pixel pass) is traced once by
+    `lax.map`; per-view work stays device-resident, so a B-view batch pays
+    one dispatch and shares the ring/boundary operands — the serving path
+    for rendering many observers (or a camera sweep over a finished
+    simulation) from one stored history.  Build `cams` with
+    `camera.stack_cameras`.  The reference has no multi-view counterpart
+    (one window, one camera: /root/reference/src/main.rs:179-352)."""
+    def one(cam):
+        return render_retarded(
+            buf, obj_index, objects, cam, width, height, params, planar,
+            boundary=boundary,
+        )
+
+    return jax.lax.map(one, cams)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "params", "planar"))
 def render_retarded_with_diag(
     buf: WorldlineBuffer,
     obj_index: jax.Array,

@@ -139,8 +139,13 @@ def config_flagship_1080p() -> EngineConfig:
             )
         ),
         # bin_capacity 64: measured drop-free at the ladder's cell_px=16
-        # (bench.py runs the same scene/params as the headline row)
-        render=RenderParams(num_rays=4096, pair_budget=32768, bin_capacity=64),
+        # (bench.py runs the same scene/params as the headline row).
+        # entry_budget 131072: 111k valid splat entries measured at frame
+        # 120 — the slice keeps the bin scatter + splat sort off the full
+        # 4*pair_budget rows; the engine doubles it on entry_dropped
+        # evidence (_check_diag)
+        render=RenderParams(num_rays=4096, pair_budget=32768, bin_capacity=64,
+                            entry_budget=131072),
         width=1920,
         height=1080,
         history=1024,
