@@ -66,14 +66,19 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import Camera, pixel_centers
 from ..constants import C2
 from ..state import Objects
 from .worldline import WorldlineBuffer
 
-_BIG = jnp.float32(3.0e38)
-_PI = jnp.float32(jnp.pi)
+# numpy scalars, NOT jnp: a module-level jnp constant creates a device array
+# at import, which initializes the XLA backend — breaking the
+# jax.distributed.initialize() must-be-first contract for multi-process
+# runs (parallel/multihost.py); numpy scalars trace identically
+_BIG = np.float32(3.0e38)
+_PI = np.float32(np.pi)
 _DQ = 64  # splat-key distance-quantization levels (nearest-k bin retention)
 
 

@@ -29,12 +29,15 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import Camera
 from ..state import Objects
 from .worldline import WorldlineBuffer
 
-_BG = jnp.int32(1) << 28  # > any packed sample (depth 12 | rgb 15 = 27 bits)
+# numpy, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import (see ops/raytrace.py's _BIG note)
+_BG = np.int32(1) << 28  # > any packed sample (depth 12 | rgb 15 = 27 bits)
 _ON_SCREEN_SENTINEL = 1e30  # masks off-screen samples out of the depth range
 
 

@@ -19,6 +19,13 @@ Sharding is expressed with jax.sharding.NamedSharding under jit (GSPMD): XLA
 inserts the all-gathers/permutes/reductions over ICI.  Everything works on a
 CPU mesh of virtual devices for testing (tests/test_parallel.py) and is
 validated by __graft_entry__.dryrun_multichip.
+
+Beyond one host: `multihost` (imported lazily — it must be usable before
+backend init) joins one JAX process per host into the same GSPMD programs
+via jax.distributed — the DCN axis.  tests/test_multihost.py runs it for
+real: two worker processes, TCP rendezvous, gloo cross-process collectives,
+production kernels under shard_map.  tools/launch_multihost.py is the
+torchrun-equivalent launcher.
 """
 
 from . import mesh, sharding
