@@ -287,6 +287,7 @@ class Engine:
         key = (rparams, self.config.render_mode, self.config.steps_per_frame,
                self.config.wl3d, self.config.btz, self.config.defect,
                self.config.defect_vel, self.config.defect_retarded,
+               self.config.defect_source, self.config.defect_G,
                self._points_wmax, self.model, id(self.materials),
                id(self.aloof_bodies), id(self.present))
         cache = getattr(self, "_fused_cache", None)
@@ -308,8 +309,11 @@ class Engine:
         # not turn a missing spec into an opaque TypeError (review r3)
         if mode == "btz" and cfg.btz is None:
             raise ValueError("render_mode='btz' requires config.btz")
-        if mode == "conical" and cfg.defect is None:
-            raise ValueError("render_mode='conical' requires config.defect")
+        if mode == "conical" and cfg.defect is None and cfg.defect_source is None:
+            raise ValueError(
+                "render_mode='conical' requires config.defect or "
+                "config.defect_source"
+            )
         hole = self._btz_hole() if mode == "btz" else None
         defects_at = self._defects if mode == "conical" else None
 
@@ -375,7 +379,9 @@ class Engine:
 
                 img, diag = curved.render_retarded_conical_with_diag(
                     buf, particles.object_index, objects, cam,
-                    defects_at(t_end, cam), cfg.width, cfg.height, params,
+                    defects_at(t_end, cam, particles, buf,
+                               max_age=params.max_age),
+                    cfg.width, cfg.height, params,
                 )
             elif mode == "btz":
                 from .ops import btz as btz_ops
@@ -560,11 +566,15 @@ class Engine:
         if mode == "conical":
             from .ops import curved
 
-            if cfg.defect is None:
-                raise ValueError("render_mode='conical' requires config.defect")
+            if cfg.defect is None and cfg.defect_source is None:
+                raise ValueError(
+                    "render_mode='conical' requires config.defect or "
+                    "config.defect_source"
+                )
             img, self.last_diag = curved.render_retarded_conical_with_diag(
                 self.worldline, self.particles.object_index, self.objects,
-                self.camera, self._defects(), cfg.width, cfg.height, rparams,
+                self.camera, self._defects(max_age=rparams.max_age),
+                cfg.width, cfg.height, rparams,
             )
             return img
         if mode == "btz":
@@ -609,7 +619,8 @@ class Engine:
         return btz_ops.BTZBlackHole.create(
             hc, hm, hl, spin[0] if spin else 0.0)
 
-    def _defects(self, t=None, cam=None):
+    def _defects(self, t=None, cam=None, particles=None, buf=None,
+                 max_age: int = 0):
         """ConicalDefect tuple from config.defect — a single ((cx,cy),
         deficit) spec or a tuple of them — with motion applied
         (config.defect_vel, see ops/curved.py module docstring).  `t` may be
@@ -621,7 +632,13 @@ class Engine:
         for the geometry source.  For linear motion c(t) = c0 + v t the
         retarded time solves |c(t_r) - cam| = t - t_r, a quadratic with the
         physical (t_r <= t) root chosen; changes to the geometry thus
-        propagate to the observer at light speed instead of instantly."""
+        propagate to the observer at light speed instead of instantly.
+
+        config.defect_source entries (matter-sourced defects, ops/gravity)
+        are appended after the static specs: each sits at its object's
+        relativistic-energy centroid — quasi-static from `particles`, or on
+        the camera's past light cone from the ring (`buf`) when
+        config.defect_retarded — with deficit 8*pi*G*energy when derived."""
         from .ops import curved
 
         if t is None:
@@ -629,6 +646,21 @@ class Engine:
         if cam is None:
             cam = self.camera
         cfg = self.config
+        if particles is None:
+            particles = self.particles
+        if buf is None:
+            buf = self.worldline
+        sourced = ()
+        if cfg.defect_source:
+            from .ops import gravity
+
+            sourced = gravity.source_defects(
+                cfg.defect_source, particles, buf, cam,
+                cfg.physics.h, cfg.defect_G, cfg.defect_retarded,
+                max_age=max_age,
+            )
+        if cfg.defect is None:
+            return sourced
         spec = cfg.defect
         # single spec: ((cx,cy), deficit) -> spec[0][0] is a number;
         # multi:  (((cx,cy), d), ...)     -> spec[0][0] is a tuple
@@ -669,7 +701,7 @@ class Engine:
                 out.append(curved.ConicalDefect.create(
                     (cx + vx * t, cy + vy * t), deficit
                 ))
-        return tuple(out)
+        return tuple(out) + sourced
 
     def run_frame(self, keys: Optional[Dict] = None) -> jax.Array:
         """One full frame: camera -> physics -> worldline -> render -> stats.

@@ -93,6 +93,8 @@ def make_sharded_frame(
     render_mode: str = "retarded",  # retarded | conical | btz
     defects=None,  # conical: quasi-static defect tuple(s) (replicated)
     hole=None,  # btz: ops.btz.BTZBlackHole (replicated)
+    defect_source=None,  # conical: matter-sourced specs (ops/gravity)
+    defect_g: float = 0.0,
 ):
     """One fused frame — physics step + worldline push + retarded render —
     jitted over the mesh: particles and ring planes shard on the particle
@@ -115,8 +117,9 @@ def make_sharded_frame(
     so GSPMD shards their pair tables over the particle axis; the
     production-kernel COLLISION step still applies.
     """
-    if render_mode == "conical" and defects is None:
-        raise ValueError("render_mode='conical' requires defects")
+    if render_mode == "conical" and defects is None and defect_source is None:
+        raise ValueError("render_mode='conical' requires defects or "
+                         "defect_source")
     if render_mode == "btz" and hole is None:
         raise ValueError("render_mode='btz' requires hole")
     if production_kernels:
@@ -145,8 +148,23 @@ def make_sharded_frame(
         if render_mode == "conical":
             from ..ops import curved
 
+            if defects is None:
+                all_defects = ()
+            elif isinstance(defects, (tuple, list)):
+                all_defects = tuple(defects)
+            else:
+                all_defects = (defects,)  # single ConicalDefect spec
+            if defect_source:
+                # matter-sourced defects compute in-graph from the sharded
+                # state: the centroid reductions become psums over the mesh
+                from ..ops import gravity
+
+                all_defects = all_defects + gravity.source_defects(
+                    defect_source, particles, buf, cam,
+                    float(model.params.h), defect_g, retarded=False,
+                )
             img = curved.render_retarded_conical(
-                buf, particles.object_index, objects, cam, defects,
+                buf, particles.object_index, objects, cam, all_defects,
                 width, height, render_params,
             )
         elif render_mode == "btz":

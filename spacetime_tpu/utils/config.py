@@ -61,8 +61,16 @@ class EngineConfig:
     defect_vel: Optional[Tuple[Tuple[float, float], ...]] = None
     # place moving defects at their RETARDED position on the camera's past
     # light cone (geometry changes propagate at c; engine._defects) instead
-    # of quasi-statically at t_now
+    # of quasi-statically at t_now.  Also applies to matter-sourced defects
+    # (the retarded centroid is read from the worldline ring, ops/gravity)
     defect_retarded: bool = False
+    # MATTER-SOURCED defects (self-consistent quasi-static gravity,
+    # ops/gravity.py): tuple of (object_index, deficit) — the defect sits at
+    # that object's relativistic-energy centroid, recomputed in-graph every
+    # frame.  deficit None derives 8*pi*defect_G*energy.  Appended after the
+    # static config.defect entries (either may be None).
+    defect_source: Optional[Tuple] = None
+    defect_G: float = 0.0  # 2+1D gravitational coupling for derived deficits
     # BTZ black hole for render_mode='btz': ((cx, cy), mass, ads_l) or
     # ((cx, cy), mass, ads_l, spin) — spin J adds slow-rotation frame
     # dragging (ops/btz.py BTZBlackHole; valid for |J| << M l)
@@ -401,6 +409,32 @@ def config_worldline3d() -> EngineConfig:
     )
 
 
+def config_selfgravity() -> EngineConfig:
+    """Matter-sourced gravity (ops/gravity.py): each blob sources its own
+    conical defect at its relativistic-energy centroid, deficit derived
+    from the energy via defect_G — the lensing follows the matter through
+    the collision, and with defect_retarded the geometry change itself
+    propagates at c along the stored centroid track."""
+    return EngineConfig(
+        scene=SceneSpec(
+            bodies=(
+                _blob(3000, (0.30, 0.50), (0.25, 0.0), BLUE),
+                _blob(3000, (0.70, 0.50), (-0.25, 0.0), RED),
+            )
+        ),
+        width=512,
+        height=512,
+        history=512,
+        cam_pos=(0.5, 0.32),  # off the collision axis: routes stay regular
+        render_mode="conical",
+        # derived deficits: 8*pi*G*E ~ 1.0 rad per blob at rest
+        # (E ~ 3000 particles x 1.0 rest mass; gamma(0.25c) adds ~3%)
+        defect_source=((0, None), (1, None)),
+        defect_G=1.0 / (8.0 * 3.14159265 * 3000.0),
+        defect_retarded=True,
+    )
+
+
 CONFIGS = {
     "single_blob": config_single_blob,
     "worldline3d": config_worldline3d,
@@ -415,6 +449,7 @@ CONFIGS = {
     "accelerated_camera": config_accelerated_camera,
     "boosted_observer": config_boosted_observer,
     "conical_defect": config_conical_defect,
+    "selfgravity": config_selfgravity,
     "plastic_collision": config_plastic_collision,
     "rindler_horizon": config_rindler_horizon,
 }

@@ -325,6 +325,37 @@ def test_sharded_frame_conical_matches_single_device():
             )
 
 
+def test_sharded_frame_sourced_defect_matches_single_device():
+    """Matter-sourced defect (ops/gravity) multi-chip: the centroid
+    reductions over the sharded particle axis (psums) must reproduce the
+    single-device sourced render exactly."""
+    from spacetime_tpu.ops import curved, gravity
+
+    particles, objects, model, buf, params = _setup()
+    cam = Camera.create(pos=(0.5, 0.5), zoom=0.5)
+    w = h = 48
+    g_c = 1.0 / (8.0 * np.pi * 10.0)
+    spec = ((0, None),)
+
+    p1, _ = model.step(particles)
+    b1 = wl.push_frame(buf, p1, 0.005)
+    d1 = gravity.source_defects(spec, p1, b1, cam, model.params.h, g_c,
+                                retarded=False)
+    img1 = curved.render_retarded_conical(
+        b1, p1.object_index, objects, cam, d1, w, h, params
+    )
+
+    m = mesh_mod.make_mesh(8)
+    p_sh, b_sh = sharding.shard_state(particles, buf, m)
+    frame = sharding.make_sharded_frame(
+        model, objects, params, w, h, m,
+        render_mode="conical", defect_source=spec, defect_g=g_c,
+    )
+    p2, b2, img2 = frame(p_sh, b_sh, cam, jnp.float32(0.005))
+    assert (np.asarray(img1) < 0.999).any(), "test scene rendered all-white"
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+
 def test_sharded_frame_btz_matches_single_device():
     """BTZ black-hole render multi-chip parity vs single device."""
     from spacetime_tpu.ops import btz as btz_ops
