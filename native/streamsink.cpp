@@ -16,6 +16,11 @@
 //     the sequence number and writes boundary + JPEG part.  Slow clients
 //     skip frames (they always get the newest encoded frame, never a queue).
 //
+// Interaction: the page captures keydown/keyup and fires GET /key?d=1&k=a
+// back at the server; events land in a bounded queue the simulation thread
+// drains via ss_poll_keys each frame (the reference's winit keyboard events,
+// src/keyboard.rs:3-45, routed over HTTP for a headless TPU host).
+//
 // C API (ctypes-friendly):
 //   void* ss_create(const char* bind_addr, int port, int width, int height,
 //                   int quality);   // bind_addr e.g. "127.0.0.1"/"0.0.0.0"
@@ -23,6 +28,10 @@
 //   int   ss_submit(void* h, const unsigned char* rgb);  // w*h*3 bytes
 //   long  ss_clients(void* h);
 //   long  ss_frames(void* h);         // frames encoded so far
+//   int   ss_poll_keys(void* h, char* buf, int buflen);
+//         // drains queued key events into buf as newline-separated
+//         // "<down> <key>" records ("1 a\n0 ArrowLeft\n"); returns bytes
+//         // written (excluding the NUL terminator)
 //   void  ss_close(void* h);
 //
 // Build: g++ -O2 -shared -fPIC -o libstreamsink.so streamsink.cpp -ljpeg -lpthread
@@ -34,6 +43,7 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <cctype>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -128,7 +138,32 @@ const char* kIndexHtml =
     "<!doctype html><html><head><title>spacetime_tpu live</title>"
     "<style>body{margin:0;background:#111;display:flex;align-items:center;"
     "justify-content:center;height:100vh}img{max-width:100%;max-height:100%}"
-    "</style></head><body><img src=\"/stream\"></body></html>";
+    "</style></head><body><img src=\"/stream\">"
+    // keyboard events back to the engine: a/d/w/s + arrows pan, z/x zoom,
+    // p pause, +/- max-FPS, o boosted view, [/]{/} 3D spin (viewer.apply_key)
+    "<script>const s=(d,e)=>{if(e.key&&!e.metaKey&&!e.ctrlKey)"
+    "fetch('/key?d='+d+'&k='+encodeURIComponent(e.key))};"
+    "window.addEventListener('keydown',e=>{if(!e.repeat)s(1,e)});"
+    "window.addEventListener('keyup',e=>s(0,e));</script>"
+    "</body></html>";
+
+// %XX-decode (the JS encodeURIComponent counterpart); invalid escapes pass
+// through literally
+std::string url_decode(const std::string& in) {
+  std::string out;
+  out.reserve(in.size());
+  for (size_t i = 0; i < in.size(); ++i) {
+    if (in[i] == '%' && i + 2 < in.size() && isxdigit(in[i + 1]) &&
+        isxdigit(in[i + 2])) {
+      out.push_back(static_cast<char>(
+          std::stoi(in.substr(i + 1, 2), nullptr, 16)));
+      i += 2;
+    } else {
+      out.push_back(in[i] == '+' ? ' ' : in[i]);
+    }
+  }
+  return out;
+}
 
 struct StreamSink {
   int width, height, quality;
@@ -148,6 +183,13 @@ struct StreamSink {
   std::atomic<long> n_clients{0};
   std::atomic<long> n_frames{0};
   std::atomic<bool> closing{false};
+
+  // key events from browser clients, drained by the sim thread each frame;
+  // bounded so a hostile client can't grow memory (oldest events win: a
+  // stuck queue means the sim thread stopped polling, so drop new input)
+  std::mutex keys_mu;
+  std::vector<std::string> key_events;  // each "<down> <key>"
+  static constexpr size_t kMaxKeyQueue = 256;
 
   std::thread encoder;
   std::thread acceptor;
@@ -204,7 +246,34 @@ struct StreamSink {
       req.push_back(ch);
     }
     bool stream = req.compare(0, 11, "GET /stream") == 0;
-    if (!stream) {
+    bool key = req.compare(0, 9, "GET /key?") == 0;
+    if (key) {
+      // query string: d=<0|1>&k=<urlencoded key name>, order-insensitive
+      size_t eol = req.find(' ', 9);  // end of request-target
+      std::string qs = req.substr(9, eol == std::string::npos ? std::string::npos
+                                                              : eol - 9);
+      std::string down, name;
+      size_t pos = 0;
+      while (pos < qs.size()) {
+        size_t amp = qs.find('&', pos);
+        std::string kv = qs.substr(pos, amp == std::string::npos
+                                            ? std::string::npos
+                                            : amp - pos);
+        if (kv.compare(0, 2, "d=") == 0) down = kv.substr(2);
+        if (kv.compare(0, 2, "k=") == 0) name = url_decode(kv.substr(2));
+        if (amp == std::string::npos) break;
+        pos = amp + 1;
+      }
+      if (!name.empty() && name.size() <= 32 &&
+          name.find('\n') == std::string::npos) {
+        std::lock_guard<std::mutex> lk(keys_mu);
+        if (key_events.size() < kMaxKeyQueue)
+          key_events.push_back((down == "0" ? "0 " : "1 ") + name);
+      }
+      const char* resp =
+          "HTTP/1.1 204 No Content\r\nConnection: close\r\n\r\n";
+      send_all(fd, resp, std::strlen(resp));
+    } else if (!stream) {
       std::string body = kIndexHtml;
       char hdr[256];
       std::snprintf(hdr, sizeof(hdr),
@@ -348,6 +417,27 @@ int ss_submit(void* h, const unsigned char* rgb) {
 long ss_clients(void* h) { return static_cast<StreamSink*>(h)->n_clients.load(); }
 
 long ss_frames(void* h) { return static_cast<StreamSink*>(h)->n_frames.load(); }
+
+int ss_poll_keys(void* h, char* buf, int buflen) {
+  auto* s = static_cast<StreamSink*>(h);
+  if (buf == nullptr || buflen <= 0) return 0;
+  std::vector<std::string> events;
+  {
+    std::lock_guard<std::mutex> lk(s->keys_mu);
+    events.swap(s->key_events);
+  }
+  int n = 0;
+  for (const auto& e : events) {
+    // drop events that don't fit (bound: kMaxKeyQueue * 35 bytes; callers
+    // pass 16 KB so this never triggers in practice)
+    if (n + static_cast<int>(e.size()) + 1 >= buflen) break;
+    std::memcpy(buf + n, e.data(), e.size());
+    n += static_cast<int>(e.size());
+    buf[n++] = '\n';
+  }
+  buf[n] = '\0';
+  return n;
+}
 
 void ss_close(void* h) {
   auto* s = static_cast<StreamSink*>(h);

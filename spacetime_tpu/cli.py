@@ -113,7 +113,15 @@ def main(argv=None) -> int:
                     arr = overlay_stats(arr, eng)
                 stream.submit(arr)
 
-    eng.run(args.frames, on_frame=on_frame, realtime=args.realtime)
+    # keyboard events posted by the live-view page (GET /key) steer the
+    # running engine: pan/zoom/pause/max-FPS/mode toggles — the reference's
+    # interactive window (keyboard.rs + debugui.rs) for a headless TPU host.
+    # (The stream is created lazily on the first frame; poll once it exists.)
+    key_source = None
+    if args.serve is not None:
+        key_source = lambda: stream.poll_keys() if stream is not None else []  # noqa: E731
+    eng.run(args.frames, on_frame=on_frame, realtime=args.realtime,
+            key_source=key_source)
     if args.stats and eng._can_fuse():
         # fused frames report no host-timed stage splits; capture device
         # stage attribution from a short profiled run of the same program

@@ -957,13 +957,31 @@ class Engine:
         n_frames: int,
         on_frame: Optional[Callable[[int, jax.Array], None]] = None,
         realtime: bool = False,
+        key_source: Optional[Callable[[], list]] = None,
     ) -> Dict[str, float]:
         """Headless loop; `realtime` enables max-FPS pacing
         (reference: main.rs:78-83 WaitUntil scheduling).  The pacing target
-        reads the LIVE hotswap value each frame (debugui.rs:89-101)."""
+        reads the LIVE hotswap value each frame (debugui.rs:89-101).
+
+        `key_source() -> [(key_name, down), ...]` is polled each frame and
+        routed through viewer.apply_key — the interaction loop of the
+        reference's windowed app (main.rs:63-171 event loop) with events
+        arriving over HTTP from the live-view page instead of winit.  A
+        'q' keypress ends the loop early."""
+        keys: dict = {}
         for i in range(n_frames):
             start = time.perf_counter()
-            img = self.run_frame()
+            if key_source is not None:
+                from . import viewer
+
+                for key, down in key_source():
+                    viewer.apply_key(keys, self, key, down)
+                if keys.get("quit"):
+                    break
+                img = self.run_frame(keys=dict(keys))
+                keys.pop("p", None)  # pause is a toggle edge, not a level
+            else:
+                img = self.run_frame()
             if on_frame is not None:
                 on_frame(i, img)
             if realtime:

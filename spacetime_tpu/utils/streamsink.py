@@ -67,6 +67,8 @@ def _load():
     lib.ss_clients.argtypes = [ctypes.c_void_p]
     lib.ss_frames.restype = ctypes.c_long
     lib.ss_frames.argtypes = [ctypes.c_void_p]
+    lib.ss_poll_keys.restype = ctypes.c_int
+    lib.ss_poll_keys.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.ss_close.restype = None
     lib.ss_close.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -83,6 +85,8 @@ class _PyMjpegServer:
         self._jpeg: Optional[bytes] = None
         self._seq = 0
         self.frames = 0
+        self._keys_mu = threading.Lock()
+        self._keys: list = []
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -90,7 +94,19 @@ class _PyMjpegServer:
                 pass
 
             def do_GET(self):
-                if self.path.startswith("/stream"):
+                if self.path.startswith("/key?"):
+                    from urllib.parse import parse_qs, urlsplit
+
+                    q = parse_qs(urlsplit(self.path).query)
+                    name = (q.get("k") or [""])[0]
+                    down = (q.get("d") or ["1"])[0] != "0"
+                    if name and len(name) <= 32 and "\n" not in name:
+                        with outer._keys_mu:
+                            if len(outer._keys) < 256:
+                                outer._keys.append((name, down))
+                    self.send_response(204)
+                    self.end_headers()
+                elif self.path.startswith("/stream"):
                     self.send_response(200)
                     self.send_header(
                         "Content-Type",
@@ -143,6 +159,11 @@ class _PyMjpegServer:
             self._seq += 1
             self.frames += 1
             self._cond.notify_all()
+
+    def poll_keys(self) -> list:
+        with self._keys_mu:
+            out, self._keys = self._keys, []
+        return out
 
     def close(self) -> None:
         self._srv.shutdown()
@@ -215,6 +236,20 @@ class StreamSink:
             self._lib.ss_submit(self._handle, arr.tobytes())
         else:
             self._py.submit(arr)
+
+    def poll_keys(self) -> list:
+        """Drain key events posted by browser clients (GET /key?d=&k=) as
+        [(key_name, down), ...] in arrival order — the winit keyboard-event
+        queue of the reference (src/keyboard.rs:3-45) over HTTP."""
+        if self._handle is not None:
+            buf = ctypes.create_string_buffer(16384)
+            n = self._lib.ss_poll_keys(self._handle, buf, len(buf))
+            out = []
+            for line in buf.raw[:n].decode("utf-8", "replace").splitlines():
+                if len(line) >= 3 and line[1] == " ":
+                    out.append((line[2:], line[0] != "0"))
+            return out
+        return self._py.poll_keys()
 
     def close(self) -> None:
         if self._handle is not None:

@@ -28,14 +28,17 @@ from .engine import Engine
 
 def apply_key(keys: dict, engine: Engine, key: Optional[str], down: bool) -> None:
     """Map one key event into the engine's key dict / hotswap settings
-    (reference: keyboard.rs:3-45 booleans + debugui.rs editable max-FPS)."""
-    if key in ("a",):
+    (reference: keyboard.rs:3-45 booleans + debugui.rs editable max-FPS).
+    Accepts matplotlib names ('a', 'left') and browser KeyboardEvent.key
+    names ('ArrowLeft') — the HTTP stream's /key endpoint forwards the
+    latter verbatim (utils/streamsink.py poll_keys)."""
+    if key in ("a", "left", "ArrowLeft"):
         keys["left"] = down
-    elif key in ("d",):
+    elif key in ("d", "right", "ArrowRight"):
         keys["right"] = down
-    elif key in ("w",):
+    elif key in ("w", "up", "ArrowUp"):
         keys["up"] = down
-    elif key in ("s",):
+    elif key in ("s", "down", "ArrowDown"):
         keys["down"] = down
     elif key in ("z", "x"):
         keys[key] = down

@@ -108,6 +108,71 @@ def test_float_frames_and_frame_counter(sink):
     assert sink.frames_encoded > before
 
 
+def _send_key(port, name, down):
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    urlopen(f"http://127.0.0.1:{port}/key?d={int(down)}&k={quote(name)}",
+            timeout=5).close()
+
+
+def test_key_events_roundtrip(sink):
+    """Browser /key GETs land in poll_keys in arrival order (native path)."""
+    assert sink.poll_keys() == []  # empty before any event
+    _send_key(sink.port, "a", True)
+    _send_key(sink.port, "ArrowLeft", True)
+    _send_key(sink.port, "a", False)
+    _send_key(sink.port, "+", True)  # urlencoded (%2B) name survives decode
+    deadline = time.time() + 5
+    got = []
+    while len(got) < 4 and time.time() < deadline:
+        got += sink.poll_keys()
+        time.sleep(0.01)
+    assert got == [("a", True), ("ArrowLeft", True), ("a", False), ("+", True)]
+    assert sink.poll_keys() == []  # drained
+
+
+def test_key_events_engine_drive(sink):
+    """The full interaction loop: HTTP key events pan a running Engine's
+    camera — the reference's windowed WASD interaction (keyboard.rs:3-45)
+    over the headless stream."""
+    from spacetime_tpu.engine import Engine
+    from spacetime_tpu.ops.raytrace import RenderParams
+    from spacetime_tpu.utils.config import EngineConfig, SceneSpec
+
+    eng = Engine(EngineConfig(
+        scene=SceneSpec(
+            bodies=(("disc", 50, (0.45, 0.45), (0.1, 0.0), (0.2, 0.2, 1.0)),),
+            capacity=256,
+        ),
+        render=RenderParams(num_rays=128),
+        width=48, height=48, history=32, render_mode="points",
+    ))
+    cam_x0 = float(eng.camera.pos[0])
+    # the 204 response is sent only after the event is queued server-side,
+    # so once urlopen returns the engine loop is guaranteed to see it
+    _send_key(sink.port, "d", True)  # pan right, held down
+    eng.run(3, key_source=sink.poll_keys)
+    assert float(eng.camera.pos[0]) > cam_x0
+
+
+def test_python_fallback_key_events():
+    from spacetime_tpu.utils.streamsink import _PyMjpegServer
+
+    srv = _PyMjpegServer(port=0, quality=85)
+    try:
+        _send_key(srv.port, "z", True)
+        _send_key(srv.port, "z", False)
+        deadline = time.time() + 5
+        got = []
+        while len(got) < 2 and time.time() < deadline:
+            got += srv.poll_keys()
+            time.sleep(0.01)
+        assert got == [("z", True), ("z", False)]
+    finally:
+        srv.close()
+
+
 def test_python_fallback_server():
     """The PIL/http.server fallback must work where the native lib can't."""
     from spacetime_tpu.utils.streamsink import _PyMjpegServer
