@@ -90,11 +90,13 @@ def make_sharded_frame(
     axis: str = "d",
     materials=None,  # ops.materials.ParticleMaterials (replicated)
     production_kernels: bool = True,
-    render_mode: str = "retarded",  # retarded | conical | btz
+    render_mode: str = "retarded",  # retarded | conical | btz | points | worldline3d
     defects=None,  # conical: quasi-static defect tuple(s) (replicated)
     hole=None,  # btz: ops.btz.BTZBlackHole (replicated)
     defect_source=None,  # conical: matter-sourced specs (ops/gravity)
     defect_g: float = 0.0,
+    defect_retarded: bool = False,  # conical: sourced defects on the past cone
+    wl3d=None,  # worldline3d: utils.config.Worldline3DParams
 ):
     """One fused frame — physics step + worldline push + retarded render —
     jitted over the mesh: particles and ring planes shard on the particle
@@ -110,18 +112,27 @@ def make_sharded_frame(
     the pure-XLA GSPMD path (useful as a parity oracle).
 
     `render_mode` extends multi-chip to the curved spacetimes: "conical"
-    renders through ops.curved with the given `defects` (quasi-static —
-    retarded defect motion needs the engine's time-dependent placement),
+    renders through ops.curved with the given `defects` ("retarded" sourced
+    placement via `defect_retarded=True` — the ring reductions become psums),
     "btz" through ops.btz with the given `hole`.  Both curved paths are
     pure XLA (no Pallas pixel kernel exists for them single-chip either),
     so GSPMD shards their pair tables over the particle axis; the
-    production-kernel COLLISION step still applies.
+    production-kernel COLLISION step still applies.  "points" uses the XLA
+    scatter rasterizer (the one-hot-MXU Pallas kernel's global key sort and
+    image-tile grid are single-chip by construction); "worldline3d" is a
+    pure-XLA scatter-min projection and GSPMD-partitions directly.
+
+    For time-dependent defect motion, interactive control and diagnostics
+    adaptation on a mesh, construct `Engine(config, mesh=...)` instead —
+    the Engine is mesh-native and drives this same layout.
     """
     if render_mode == "conical" and defects is None and defect_source is None:
         raise ValueError("render_mode='conical' requires defects or "
                          "defect_source")
     if render_mode == "btz" and hole is None:
         raise ValueError("render_mode='btz' requires hole")
+    if render_mode == "worldline3d" and wl3d is None:
+        raise ValueError("render_mode='worldline3d' requires wl3d params")
     if production_kernels:
         interp = jax.default_backend() == "cpu"
         model = dataclasses.replace(
@@ -161,7 +172,9 @@ def make_sharded_frame(
 
                 all_defects = all_defects + gravity.source_defects(
                     defect_source, particles, buf, cam,
-                    float(model.params.h), defect_g, retarded=False,
+                    float(model.params.h), defect_g,
+                    retarded=defect_retarded,
+                    max_age=render_params.max_age,
                 )
             img = curved.render_retarded_conical(
                 buf, particles.object_index, objects, cam, all_defects,
@@ -173,6 +186,20 @@ def make_sharded_frame(
             img, _diag = btz_ops.render_btz_with_diag(
                 buf, particles.object_index, objects, cam, hole,
                 width, height, render_params,
+            )
+        elif render_mode == "points":
+            from ..ops import rasterize
+
+            img = rasterize.render_points(
+                particles, objects, cam, width, height
+            )
+        elif render_mode == "worldline3d":
+            from ..ops import worldline3d
+
+            img = worldline3d.render_worldline3d(
+                buf, particles.object_index, objects, cam, width, height,
+                wl3d, active=particles.active,
+                boundary=wl.boundary_mask(particles),
             )
         else:
             img = raytrace.render_retarded(

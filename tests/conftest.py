@@ -63,6 +63,12 @@ _SLOW = {
     ("test_multiview.py", "test_engine_render_views"),
     ("test_multiview.py", "test_render_views_boundary_and_planar"),
     ("test_multiview.py", "test_render_views_matches_single_camera_renders"),
+    ("test_parallel.py", "test_engine_mesh_camera_frame"),
+    ("test_parallel.py", "test_engine_mesh_checkpoint_roundtrip"),
+    ("test_parallel.py", "test_engine_mesh_mode_parity"),
+    ("test_parallel.py", "test_engine_mesh_production_kernels"),
+    ("test_parallel.py", "test_engine_mesh_render_views"),
+    ("test_parallel.py", "test_engine_mesh_retarded_sourced_defect"),
     ("test_parallel.py", "test_graft_dryrun_multichip"),
     ("test_parallel.py", "test_sharded_frame_matches_single_device"),
     ("test_parallel.py", "test_sharded_frame_no_full_ring_allgather"),
