@@ -63,6 +63,23 @@ def mask_to_softbody(
     for a disc.
     """
     mask = np.asarray(mask, bool)
+    if lattice_pad and mask.any():
+        # crop to the tight occupancy bbox: black margins would otherwise
+        # become dead lattice slots that every O(N) pass pays for — the
+        # reference demo images carry ~21% margin (testimg4/5: 300x300 with
+        # a 271x262 live bbox), which round-3 capacity (180224) inherited.
+        # World positions are unchanged: the crop origin moves into the
+        # ground offset.
+        ys_nz, xs_nz = np.nonzero(mask)
+        y0, y1 = int(ys_nz.min()), int(ys_nz.max())
+        x0, x1 = int(xs_nz.min()), int(xs_nz.max())
+        if (y0, x0) != (0, 0) or (y1, x1) != (mask.shape[0] - 1,
+                                              mask.shape[1] - 1):
+            mask = mask[y0:y1 + 1, x0:x1 + 1]
+            ground_pos_offset = (
+                float(ground_pos_offset[0]) + x0 * float(spacing),
+                float(ground_pos_offset[1]) + y0 * float(spacing),
+            )
     h, w = mask.shape
     if lattice_pad:
         n = h * w
