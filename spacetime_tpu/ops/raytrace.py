@@ -190,6 +190,16 @@ class RenderParams:
     # multi-chip runs the production kernel, not the XLA fallback)
     shard: object = None
     doppler_strength: float = 1.0
+    # physically-based spectral Doppler (opt-in, ACCURACY.md #10 upgrade):
+    # each surface emits as a blackbody at `spectral_temp` kelvin tinted by
+    # its albedo; the observed channel photometry is the EXACT frequency-form
+    # Planck ratio under the total Doppler factor D (shade_channels), which
+    # includes relativistic beaming exactly (the 3-band hat model and the
+    # D^3 beaming flag are ignored in this mode).  Spectral shading runs on
+    # the XLA pixel path (_resolve_backend forces it; the Pallas kernel
+    # mirrors the default model only).
+    spectral: bool = False
+    spectral_temp: float = 6500.0  # rest-frame emitter temperature (K)
     ambient: float = 0.15  # fraction of unshifted base color mixed in
     absorbed_dim: float = 0.35  # brightness of matter hidden behind other matter
     shadow: float = 0.78  # background brightness in occluded regions
@@ -245,6 +255,29 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+# representative channel wavelengths (m) and h*c/k (m*K) for the spectral
+# (blackbody) Doppler model
+_LAMBDA_RGB = (610e-9, 550e-9, 465e-9)
+_HC_OVER_K = 1.43877688e-2
+
+
+def planck_channel_factor(d, lam: float, temp: float):
+    """Observed/emitted intensity ratio at channel wavelength `lam` for a
+    blackbody emitter at rest temperature `temp` seen under total Doppler
+    factor `d` — EXACT relativistic photometry, beaming included.
+
+    Derivation: specific intensity transforms as I'_nu'(nu') = D^3 I_nu(nu'/D)
+    with B_nu(nu, T) ~ nu^3 / expm1(h nu / k T), so at the fixed observed
+    channel frequency nu_c the ratio to the rest-frame emission is
+        I'(nu_c) / I(nu_c) = expm1(x_c) / expm1(x_c / D),  x_c = h nu_c / k T
+    (the D^3 beaming and the nu^3 prefactor cancel).  At D = 1 this is
+    exactly 1 (albedo identity); blueshift brightens shorter wavelengths
+    more (larger x_c)."""
+    x = _HC_OVER_K / (lam * temp)
+    d_safe = jnp.maximum(d, 1e-3)
+    return jnp.expm1(x) / jnp.expm1(x / d_safe)
+
+
 def shade_channels(cr, cg, cb, d, params: RenderParams):
     """Doppler-shift + beam three scalar channel arrays.
 
@@ -253,7 +286,15 @@ def shade_channels(cr, cg, cb, d, params: RenderParams):
     linear interpolation; light shifted outside the triplet dims to black.
     out_i = sum_j hat(i - t - j) * c_j  with t = clip(log2 D).
     """
-    if params.doppler:
+    if params.spectral:
+        # blackbody photometry (see planck_channel_factor): albedo tints a
+        # thermal emitter at spectral_temp; beaming is inherent in the
+        # frequency-form ratio, so the D^3 flag does not apply here
+        t0 = params.spectral_temp
+        sr = cr * planck_channel_factor(d, _LAMBDA_RGB[0], t0)
+        sg = cg * planck_channel_factor(d, _LAMBDA_RGB[1], t0)
+        sb = cb * planck_channel_factor(d, _LAMBDA_RGB[2], t0)
+    elif params.doppler:
         t = jnp.clip(
             jnp.log2(jnp.maximum(d, 1e-6)) * params.doppler_strength, -2.5, 2.5
         )
@@ -264,7 +305,7 @@ def shade_channels(cr, cg, cb, d, params: RenderParams):
         sr, sg, sb = out
     else:
         sr, sg, sb = cr, cg, cb
-    if params.beaming:
+    if params.beaming and not params.spectral:
         boost = d * d * d
         sr, sg, sb = sr * boost, sg * boost, sb * boost
     amb = params.ambient
@@ -1297,7 +1338,11 @@ def _sfirst_lookup(s_first, gxq, gyq, x0, y0, pixel_size, cam, n_rays, off,
 
 def _resolve_backend(params: RenderParams):
     """Map params.backend to (path, interpret): Pallas kernel on TPU-class
-    backends, XLA block map on CPU (Pallas interpret mode is test-only)."""
+    backends, XLA block map on CPU (Pallas interpret mode is test-only).
+    Spectral (blackbody) shading exists only on the XLA path — the flag
+    overrides any backend choice so it can never be silently ignored."""
+    if params.spectral:
+        return "xla", False
     b = params.backend
     if b == "auto":
         return ("pallas" if jax.default_backend() != "cpu" else "xla"), False
