@@ -80,3 +80,29 @@ def test_two_blob_scene_counts():
     assert n == 2 * scene.disc_mask(10).sum()
     obj = np.asarray(particles.object_index)[np.asarray(particles.active)]
     assert set(obj.tolist()) == {0, 1}
+
+
+def test_lattice_pad_crops_margins_exactly():
+    """Round 4: lattice_pad crops the mask to its tight occupancy bbox (dead
+    margin slots cost every O(capacity) pass); ACTIVE world positions, bond
+    topology and bond vectors must be identical to the uncropped build."""
+    mask = np.zeros((12, 10), bool)
+    mask[3:7, 2:6] = True  # 4x4 blob with margins on all sides
+    body = scene.mask_to_softbody(mask, 0, (0.1, 0.2), (0.0, 0.0),
+                                  lattice_pad=True)
+    # slots shrink to the 4x4 bbox
+    assert body["pos"].shape[0] == 16
+    assert body["active"].all()
+    # world positions match the naive (uncropped, margin-full) build
+    ref = scene.mask_to_softbody(np.asarray(mask), 0, (0.1, 0.2), (0.0, 0.0),
+                                 lattice_pad=False)
+    got = body["pos"][body["active"]]
+    want = ref["pos"]
+    np.testing.assert_allclose(
+        np.sort(got.ravel()), np.sort(want.ravel()), rtol=1e-6
+    )
+    # bond structure: every particle's bonded neighbor sits one lattice
+    # spacing away, same as the uncropped build
+    nbr = body["neighbors"]
+    n_bonds = (nbr >= 0).sum()
+    assert n_bonds == (ref["neighbors"] >= 0).sum()
