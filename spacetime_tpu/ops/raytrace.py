@@ -272,10 +272,19 @@ def planck_channel_factor(d, lam: float, temp: float):
         I'(nu_c) / I(nu_c) = expm1(x_c) / expm1(x_c / D),  x_c = h nu_c / k T
     (the D^3 beaming and the nu^3 prefactor cancel).  At D = 1 this is
     exactly 1 (albedo identity); blueshift brightens shorter wavelengths
-    more (larger x_c)."""
+    more (larger x_c).
+
+    Numerics (ADVICE r4): the naive expm1(x)/expm1(x/D) overflows float32
+    for x > 88 (spectral_temp below ~360 K at visible wavelengths -> NaN
+    frames).  Rewritten as exp(x - x/D) * (1 - e^-x) / (1 - e^-x/D), which
+    is finite everywhere; the exponent is clamped at +-80 (exp(80) ~ 5e34 —
+    the shade path clips channel values to [0, 1] long before that)."""
     x = _HC_OVER_K / (lam * temp)
     d_safe = jnp.maximum(d, 1e-3)
-    return jnp.expm1(x) / jnp.expm1(x / d_safe)
+    expo = jnp.clip(x - x / d_safe, -80.0, 80.0)
+    num = -jnp.expm1(-x)
+    den = -jnp.expm1(-x / d_safe)
+    return jnp.exp(expo) * num / jnp.maximum(den, 1e-38)
 
 
 def shade_channels(cr, cg, cb, d, params: RenderParams):
@@ -628,15 +637,20 @@ def _band_pairs(
     col = lambda c: jnp.broadcast_to(
         prgb[:, c][:, None], (n, band)
     ).reshape(-1)
+    zcol = jnp.zeros((n * band,), jnp.float32)
+    # field-major stack + one explicit transpose: stacking 16 (rows,)
+    # columns along the MINOR axis makes XLA write every column with a
+    # 16-element stride (1.19 ms traced at 116k); the (16, rows) stack is
+    # 16 contiguous plane copies and the transpose a single relayout pass
     pdata = jnp.stack(
         [
             keep(qax), keep(qay), keep(qbx), keep(qby),
             jnp.where(valid, pta, 0.0).reshape(-1),
             pvx.reshape(-1), pvy.reshape(-1),
             col(0), col(1), col(2),
-        ],
-        axis=-1,
-    )
+        ] + [zcol] * 6,
+        axis=0,
+    ).T
     return PairData(
         pdata=pdata,
         pair_valid=valid.reshape(-1),
@@ -654,11 +668,14 @@ def _compact_pairs_to_budget(pairs: "PairData", budget: int) -> "PairData":
     mask = pairs.pair_valid
     # stable sort on the 1-bit validity key floats valid rows to the front in
     # original order (a cumsum + scalar scatter here traced 2.4 ms at 116k;
-    # the (rows,) sort runs ~0.7 ms)
-    src = jnp.arange(rows, dtype=jnp.int32)
-    skey, sval = jax.lax.sort_key_val((~mask).astype(jnp.int32), src)
-    taken = sval[:budget]
-    ok = skey[:budget] == 0
+    # the (rows,) sort runs ~0.7 ms).  Key and row index PACK into one u32
+    # (1 validity bit << 30 | row, rows < 2^30 always) so the sort moves ONE
+    # operand instead of two — TPU sort cost scales with operand bytes.
+    src = jnp.arange(rows, dtype=jnp.uint32)
+    packed = ((~mask).astype(jnp.uint32) << 30) | src
+    spacked = jax.lax.sort(packed)
+    taken = (spacked[:budget] & jnp.uint32((1 << 30) - 1)).astype(jnp.int32)
+    ok = (spacked[:budget] >> 30) == 0
     far = 2.0e9
     pdata = jnp.where(ok[:, None], pairs.pdata[taken], far)
     return PairData(
@@ -683,12 +700,14 @@ def _compact_pairs_two_segment(pairs: "PairData", first_mask, budget: int):
     # three-way stable sort key: boundary pairs (0) < other valid (1) <
     # invalid (2).  Replaces two cumsums + a scalar scatter (traced 2.4 ms
     # at 116k) with one (rows,) sort (~0.7 ms); order within each class is
-    # preserved (lax.sort is stable).
-    key = jnp.where(fm, 0, jnp.where(mask, 1, 2)).astype(jnp.int32)
-    src = jnp.arange(rows, dtype=jnp.int32)
-    skey, sval = jax.lax.sort_key_val(key, src)
-    taken = sval[:budget]
-    ok = skey[:budget] < 2
+    # preserved (lax.sort is stable).  Key and row index PACK into one u32
+    # (2 class bits << 30 | row, rows < 2^30 always): a single-operand sort
+    # halves the sorted bytes vs (key, val) — traced 1.37 -> ~0.7 ms at 116k.
+    key = jnp.where(fm, 0, jnp.where(mask, 1, 2)).astype(jnp.uint32)
+    src = jnp.arange(rows, dtype=jnp.uint32)
+    spacked = jax.lax.sort((key << 30) | src)
+    taken = (spacked[:budget] & jnp.uint32((1 << 30) - 1)).astype(jnp.int32)
+    ok = (spacked[:budget] >> 30) < 2
     pdata = jnp.where(ok[:, None], pairs.pdata[taken], 2.0e9)
     return PairData(pdata=pdata, pair_valid=ok, n_pairs=pairs.n_pairs), n_first
 
@@ -697,9 +716,16 @@ class PairData(NamedTuple):
     """Cone-crossing segments in the static (N * band) layout.
 
     Shading inputs (velocity, albedo) are resolved PER PAIR here so the
-    per-pixel pass selects them by masked reduction with zero gathers."""
+    per-pixel pass selects them by masked reduction with zero gathers.
 
-    pdata: jax.Array  # (N * band, 10) f32 — see _F_* field order
+    The flat-spacetime builders emit 16 columns (10 _F_* fields + 6 zero
+    pads) so _splat_windows can reshape gathered rows straight into
+    128-lane W-rows of 8 entries x 16 fields (a host-side pad to 16 traced
+    1.1 ms/frame at 116k); the curved-path builders (ops/curved.py,
+    ops/btz.py) stay 10-wide — they feed the XLA block map, which is
+    width-agnostic."""
+
+    pdata: jax.Array  # (N * band, 16) f32 — see _F_* field order
     pair_valid: jax.Array  # (N * band,)
     n_pairs: jax.Array  # () i32
 
@@ -865,10 +891,11 @@ def _build_view_tables(
     )
     wc_img, hc_img = geom[0], geom[1]
     vok = vslot >= 0
-    vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, 10) row gather
+    nf = pairs.pdata.shape[1]  # 16 (flat builders) or 10 (curved paths)
+    vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, nf)
 
     n_img_cells = wc_img * hc_img
-    vdat = vdat.reshape(n_img_cells, cap, 10)
+    vdat = vdat.reshape(n_img_cells, cap, nf)
     vok = vok.reshape(n_img_cells, cap)
     cb = params.cells_per_block
     n_blocks = -(-n_img_cells // cb)
@@ -878,20 +905,138 @@ def _build_view_tables(
     return ViewTables(vdat=vdat, vok=vok, n_img_cells=n_img_cells), bin_dropped, entry_dropped, cell_too_small, geom
 
 
-def _vdat_cell_major(pairs: PairData, vslot, wc_img: int, hc_img: int, cap: int):
-    """Pallas-kernel layout: (10, cap, hc_img * wcp) with cells padded
-    row-major to wgroups*128 lanes; empty slots hold the far sentinel so they
-    self-exclude in the kernel's dist2 test.  Returns (vdat_t, wgroups)."""
+def _splat_windows(
+    pairs: PairData, cam, width: int, height: int, params: RenderParams
+):
+    """Pallas-kernel bin layout, scatter-free (the round-5 "bin-fold").
+
+    Replaces the vslot id scatter (1.21 ms traced at 116k) and the
+    (cells x cap) row gather + transpose (2.07 ms) of the _splat_vslot /
+    row-gather pair (removed round 5) with sorted-entry windows:
+
+      1. sort splat entries by composite (cell, distance-quantile) key —
+         entries of one cell are CONTIGUOUS in sorted order, nearest first;
+      2. per-interior-cell [start, end) windows via ONE vectorized
+         searchsorted over the sorted keys (hc * (wc+1) consecutive-key
+         queries — cell boundaries share endpoints);
+      3. gather pair rows once in SORTED-ENTRY order (entry_budget rows, not
+         cells x cap), pack 8 entries x 16 fields per 128-lane row, and
+         fetch each cell's 8-aligned window rows with one more row gather;
+      4. the kernel masks slots by index (lo <= j < hi per cell lane)
+         instead of sentinel candidates, and loops a PER-GROUP dynamic depth
+         (max occupied W-rows of its 128 cells) instead of a static cap.
+
+    Candidate retention is s_rows*8 - lo_off >= bin_capacity per cell
+    (alignment slack can only retain MORE than the vslot path's cap);
+    overflow drops the farthest-quantile entries exactly like the vslot
+    path and is counted in bin_dropped for the engine's adaptation.
+
+    Returns (vdat_t (S, 16, hc*wcp) f32, lo (hc, wcp) i32, hi (hc, wcp) i32,
+    depth (hc, wgroups) i32, bin_dropped, entry_dropped, cell_too_small,
+    geom).
+    """
+    cap = params.bin_capacity
+    key, val, wc, hc, geom, cell_too_small = _splat_keys(
+        pairs, cam, width, height, params
+    )
+    n_vcells = wc * hc
+    wc_img, hc_img = geom[0], geom[1]
+
+    skey, sval = jax.lax.sort_key_val(key, val)
+    entry_dropped = jnp.int32(0)
+    if 0 < params.entry_budget < skey.shape[0]:
+        # see _splat_vslot: invalid keys sort to the END, so a prefix slice
+        # keeps every valid entry while it fits the budget
+        eb = params.entry_budget
+        n_valid = jnp.sum((key < n_vcells * _DQ).astype(jnp.int32))
+        entry_dropped = jnp.maximum(n_valid - eb, 0)
+        skey = jax.lax.slice_in_dim(skey, 0, eb, axis=0)
+        sval = jax.lax.slice_in_dim(sval, 0, eb, axis=0)
+    n_entries = skey.shape[0]
+
+    # pad sorted entries to whole 8-entry W-rows (sentinel keys sort-last)
+    e8 = -(-n_entries // 8)
+    pad = e8 * 8 - n_entries
+    if pad:
+        skey = jnp.pad(skey, (0, pad), constant_values=n_vcells * _DQ)
+        sval = jnp.pad(sval, (0, pad))
+
+    # Per-cell run starts over the sorted entries.  A vectorized
+    # searchsorted (8228 queries x 18 binary-search rounds) traced 2.1 ms
+    # and a direct 262k scatter-min ~1.8 ms; instead: compact the run-START
+    # entries to the front with one packed single-operand sort (run starts
+    # number at most n_vcells+1 << entries), scatter-min their positions
+    # into the tiny (n_vcells+2,) table, and suffix-min so EMPTY cells
+    # inherit the next run's start (making every [start[c], start[c+1])
+    # window correct, zero-length for empty cells).
+    n_e8 = e8 * 8
+    scell = skey // _DQ
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), scell[1:] != scell[:-1]]
+    )
+    eidx = jnp.arange(n_e8, dtype=jnp.uint32)
+    spk = jax.lax.sort(
+        jnp.where(is_start, eidx, jnp.uint32(1 << 31) | eidx)
+    )
+    kmax = min(n_vcells + 2, n_e8)
+    pos = (spk[:kmax] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    okst = (spk[:kmax] >> 31) == 0
+    cell_at = jnp.where(okst, scell[pos], n_vcells + 1)
+    # non-start slots must scatter the BIG sentinel: a small garbage pos at
+    # the dump slot would propagate backward through the suffix-min
+    pos = jnp.where(okst, pos, jnp.int32(n_e8))
+    table = jnp.full((n_vcells + 2,), jnp.int32(n_e8), jnp.int32)
+    table = table.at[jnp.clip(cell_at, 0, n_vcells + 1)].min(pos)
+    table = jnp.flip(jax.lax.cummin(jnp.flip(table)))
+
+    # interior cell (r, c) = halo cell (r+1)*wc + (c+1); each image row
+    # reads wc_img+1 CONSECUTIVE table slots, so window ends are the next
+    # cell's starts (halo-column entries fall between interior runs and
+    # outside every window by construction)
+    rows0 = (jnp.arange(hc_img, dtype=jnp.int32) + 1) * wc + 1
+    qc = rows0[:, None] + jnp.arange(wc_img + 1, dtype=jnp.int32)[None, :]
+    starts = table[qc]
+    lo_all = starts[:, :-1]
+    cnt = starts[:, 1:] - lo_all
+    s_rows = -(-(cap + 7) // 8)  # W-rows per cell (>= cap at any alignment)
+    start8 = lo_all // 8
+    lo_off = lo_all - start8 * 8
+    # retain exactly bin_capacity (s_rows*8 - lo_off >= cap always): the
+    # alignment slack could hold a few more, but the XLA path drops at cap,
+    # and backend parity is worth more than <8 extra candidates
+    retained = jnp.minimum(cnt, cap)
+    bin_dropped = jnp.sum(jnp.maximum(cnt - retained, 0))
+    need = lo_off + retained  # exclusive last slot the kernel must scan
+
+    # kernel-layout padding: cells row-major, lanes padded to wgroups*128;
+    # padded lanes get hi == lo == 0 (no slot ever valid -> background)
     wgroups = -(-wc_img // 128)
     wcp = wgroups * 128
-    vs = jnp.pad(
-        vslot, ((0, 0), (0, wcp - wc_img), (0, 0)), constant_values=-1
-    )  # (hc, wcp, cap)
-    vs_t = jnp.moveaxis(vs, 2, 0).reshape(cap, hc_img * wcp)
-    rows = pairs.pdata[jnp.maximum(vs_t, 0)]  # (cap, cells, 10) row gather
-    rows = jnp.where(vs_t[..., None] >= 0, rows, 2.0e9)
-    vdat_t = rows.transpose(2, 0, 1)  # (10, cap, cells)
-    return vdat_t, wgroups
+    cpad = wcp - wc_img
+    lo_p = jnp.pad(lo_off, ((0, 0), (0, cpad)))
+    hi_p = jnp.pad(need, ((0, 0), (0, cpad)))
+    depth = jnp.max(hi_p.reshape(hc_img, wgroups, 128), axis=2)
+    depth = (depth + 7) // 8  # W-rows the kernel loops, per 128-cell group
+
+    # entry rows in sorted order: ONE 16-wide row gather (E rows — pdata is
+    # assembled 16-wide so the rows reshape to 128-lane W-rows for free),
+    # then one W-row gather (cells * s_rows rows of one 128-lane row each).
+    # Lane padding rides the INDEX array (tiny) — padding the gathered data
+    # itself traced 1.3 ms of pure relayout.
+    assert pairs.pdata.shape[1] == 16, "pdata must be 16-wide (see PairData)"
+    edat8 = pairs.pdata[sval].reshape(e8, 128)  # 8 entries x 16 fields/row
+    widx = jnp.minimum(
+        start8[:, :, None] + jnp.arange(s_rows, dtype=jnp.int32), e8 - 1
+    )
+    widx = jnp.pad(widx, ((0, 0), (0, cpad), (0, 0)))
+    vdatw = edat8[widx.reshape(-1)].reshape(hc_img, wcp, s_rows, 8, 16)
+    vdat_t = vdatw.transpose(2, 3, 4, 0, 1).reshape(
+        s_rows * 8, 16, hc_img * wcp
+    )
+    return (
+        vdat_t, lo_p, hi_p, depth,
+        bin_dropped, entry_dropped, cell_too_small, geom,
+    )
 
 
 def _cell_pixel_coords(width, height, cam, params: RenderParams):
@@ -1110,12 +1255,13 @@ def _instant_pairs(buf, obj_index, objects, params: RenderParams):
     far = 2.0e9
     keep = lambda v: jnp.where(valid, v, far)
     colr = lambda c: objects.base_color[:, c][obj_index]
+    zcol = jnp.zeros((n,), jnp.float32)
     pdata = jnp.stack(
         [
             keep(qax), keep(qay), keep(qbx), keep(qby),
             jnp.broadcast_to(pta, (n,)),
             pvx, pvy, colr(0), colr(1), colr(2),
-        ],
+        ] + [zcol] * 6,
         axis=-1,
     )
     return PairData(
@@ -1294,10 +1440,12 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     colr = lambda c: jnp.broadcast_to(
         objects.base_color[:, c][obj_index][:, None], (n, band)
     ).reshape(-1)
+    zcol = jnp.zeros((n * band,), jnp.float32)
     pdata = jnp.stack(
         [keep(qax), keep(qay), keep(qbx), keep(qby),
          jnp.where(valid, pta, 0.0).reshape(-1),
-         pvx.reshape(-1), pvy.reshape(-1), colr(0), colr(1), colr(2)],
+         pvx.reshape(-1), pvy.reshape(-1), colr(0), colr(1), colr(2)]
+        + [zcol] * 6,
         axis=-1,
     )
     return PairData(
@@ -1339,10 +1487,8 @@ def _sfirst_lookup(s_first, gxq, gyq, x0, y0, pixel_size, cam, n_rays, off,
 def _resolve_backend(params: RenderParams):
     """Map params.backend to (path, interpret): Pallas kernel on TPU-class
     backends, XLA block map on CPU (Pallas interpret mode is test-only).
-    Spectral (blackbody) shading exists only on the XLA path — the flag
-    overrides any backend choice so it can never be silently ignored."""
-    if params.spectral:
-        return "xla", False
+    Spectral (blackbody) shading is mirrored in the kernel since round 5
+    (render_pallas planck branch), so it no longer forces the XLA path."""
     b = params.backend
     if b == "auto":
         return ("pallas" if jax.default_backend() != "cpu" else "xla"), False
@@ -1355,19 +1501,20 @@ def _pixel_pass_pallas_path(
     pairs: PairData, rpairs: PairData, cam, t_now, width: int, height: int,
     params: RenderParams, use_rays: bool, planar: bool, interpret: bool,
 ):
-    """Fused Pallas pixel pass: splat -> cell-major candidate planes ->
-    one kernel for occupancy/winner/shading/occlusion/composition.
-    Returns (image, bin_dropped, entry_dropped, cell_too_small)."""
+    """Fused Pallas pixel pass: sorted-window splat (scatter-free, see
+    _splat_windows) -> one kernel for occupancy/winner/shading/occlusion/
+    composition.  Returns (image, bin_dropped, entry_dropped,
+    cell_too_small)."""
     from . import render_pallas as rp
 
     k = params.cell_px
     k2 = k * k
-    cap = params.bin_capacity
-    vslot, bin_dropped, entry_dropped, cell_too_small, geom = _splat_vslot(
-        pairs, cam, width, height, params
-    )
+    (
+        vdat_t, wlo, whi, depth,
+        bin_dropped, entry_dropped, cell_too_small, geom,
+    ) = _splat_windows(pairs, cam, width, height, params)
     wc_img, hc_img, pixel_size, x0, y0 = geom
-    vdat_t, wgroups = _vdat_cell_major(pairs, vslot, wc_img, hc_img, cap)
+    wgroups = -(-wc_img // 128)
     wcp = wgroups * 128
     cxm, cym = cam.pos[0], cam.pos[1]
 
@@ -1400,10 +1547,11 @@ def _pixel_pass_pallas_path(
         [t_now, cxm, cym, cam.vel[0], cam.vel[1], x0, y0, pixel_size]
     ).astype(jnp.float32)
     out = rp.pixel_pass_pallas(
-        vdat_t, sfpx, scal,
-        k=k, cap=cap, hc=hc_img, wgroups=wgroups,
+        vdat_t, wlo, whi, depth, sfpx, scal,
+        k=k, hc=hc_img, wgroups=wgroups,
         use_rays=use_rays, retarded=params.retarded,
         doppler=params.doppler, beaming=params.beaming,
+        spectral=params.spectral, spectral_temp=params.spectral_temp,
         rho=params.rho, dt=params.dt,
         doppler_strength=params.doppler_strength, ambient=params.ambient,
         absorbed_dim=params.absorbed_dim, shadow=params.shadow,

@@ -7,18 +7,25 @@ frame at 1080p (traced): ~1.5 ms of block slicing/stacking plumbing, ~0.8 ms
 of candidate-table relayout, and materialized every (cells, k2, cap)
 intermediate through HBM.  This kernel keeps the whole candidate loop in
 VMEM/registers and fuses occupancy, winner selection, Doppler/beaming
-shading, retina occlusion, and composition into one pass.
+shading (incl. the exact blackbody spectral model), retina occlusion, and
+composition into one pass.
 
-Layout (cells-on-lanes):
+Layout (cells-on-lanes, sorted-window fold — round 5):
   * grid = (hc, wgroups): one step per 128 view cells of one cell-row.
   * Pixel ops are (k2, 128) blocks: sublane = pixel-within-cell, lane = cell.
-  * vdat_t is (10, cap, n_cells_pad): per candidate j, field f, the slice
-    [f, j, :] is one (1, 128) sublane row broadcast over k2 pixel sublanes —
-    no gathers, no transposes in the hot loop.
+  * vdat_t is (S, 16, n_cells_pad): slot-major so the candidate loop's
+    dynamic W-row index rides the LEADING dim (the paged-KV rule, see
+    forces_pallas.py); per slot j, field f, the slice [j, f, :] is one
+    (1, 128) sublane row broadcast over k2 pixel sublanes — no gathers, no
+    transposes in the hot loop.  Slots hold 8-entry-aligned windows of the
+    SORTED splat entries (raytrace._splat_windows); each lane masks its own
+    window by index: slot j is lane c's candidate iff lo[c] <= j < hi[c].
+  * The loop depth is DYNAMIC per 128-cell group (max occupied W-rows),
+    not a static bin capacity — sky groups run zero iterations, interior
+    groups only as deep as their densest cell.
   * Winner selection is a running masked min (strict <, keeping the FIRST
-    minimum — same tie rule as the XLA path's cumsum==1 one-hot).
-  * Sentinel candidate rows (2e9) fail the dist2 test by construction, so
-    padding needs no separate validity plane.
+    minimum in sorted-entry order — same tie rule as the XLA path's
+    cumsum==1 one-hot over rank order).
 
 Output is "cell-major planar": (3, hc, k2, wcp); `assemble_cell_major`
 unpacks to the (3, H, W) image (one transpose outside the kernel).
@@ -35,24 +42,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIGF = 3.0e38  # python float: kernels must not capture device constants
 
-# field order must match raytrace.PairData pdata columns
+# field order must match raytrace.PairData pdata columns (padded to 16)
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
+
+# channel wavelengths + h*c/k for the spectral model — must mirror
+# raytrace._LAMBDA_RGB / _HC_OVER_K exactly (kernel-vs-XLA parity tests)
+_LAMBDA_RGB = (610e-9, 550e-9, 465e-9)
+_HC_OVER_K = 1.43877688e-2
 
 
 def _pixel_kernel(
     scal_ref,  # SMEM (9,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, px_size, row_off
-    occ_ref,  # SMEM (hc, wgroups) i32: any candidate in this 128-cell group
-    vdat_ref,  # VMEM (10, cap, 128)
+    depth_ref,  # SMEM (hc, wgroups) i32: W-rows to scan in this 128-cell group
+    vdat_ref,  # VMEM (S, 16, 128) sorted-window candidate slots
+    lo_ref,  # VMEM (1, 1, 128) i32: first window slot per cell lane
+    hi_ref,  # VMEM (1, 1, 128) i32: end of window slots per cell lane
     sfpx_ref,  # VMEM (1, k2, 128) or None (x-ray / instantaneous)
     out_ref,  # VMEM (3, 1, k2, 128)
     *,
     k: int,
-    cap: int,
-    wgroups: int,
     use_rays: bool,
     retarded: bool,
     doppler: bool,
     beaming: bool,
+    spectral: bool,
+    spectral_temp: float,
     rho: float,
     dt: float,
     doppler_strength: float,
@@ -107,54 +121,76 @@ def _pixel_kernel(
         bg = jnp.ones((k2, 128), jnp.float32)
 
     # empty-group fast path: a 128-cell group with zero candidates (most of
-    # any frame's sky/background bands) skips the whole cap-deep candidate
-    # loop and shading — only the shadow composition runs
+    # any frame's sky/background bands) skips the whole candidate loop and
+    # shading — only the shadow composition runs
     out_ref[0, 0, :, :] = bg
     out_ref[1, 0, :, :] = bg
     out_ref[2, 0, :, :] = bg
 
-    @pl.when(occ_ref[pl.program_id(0), g_id] != 0)
+    depth = depth_ref[pl.program_id(0), g_id]
+
+    @pl.when(depth > 0)
     def _occupied_group():
         _shade_group(
-            vdat_ref, out_ref, pxw, pyw, r, t_e, blocked, inv_dt, rho2,
-            t_now, cxm, cym, cvx, cvy,
-            k2=k2, cap=cap, use_rays=use_rays, doppler=doppler,
-            beaming=beaming, doppler_strength=doppler_strength,
+            vdat_ref, lo_ref, hi_ref, out_ref, depth, pxw, pyw, r, t_e,
+            blocked, inv_dt, rho2, t_now, cxm, cym, cvx, cvy,
+            k2=k2, use_rays=use_rays, doppler=doppler,
+            beaming=beaming, spectral=spectral, spectral_temp=spectral_temp,
+            doppler_strength=doppler_strength,
             ambient=ambient, absorbed_dim=absorbed_dim, shadow=shadow,
         )
 
 
-def _shade_group(
-    vdat_ref, out_ref, pxw, pyw, r, t_e, blocked, inv_dt, rho2,
-    t_now, cxm, cym, cvx, cvy, *,
-    k2, cap, use_rays, doppler, beaming, doppler_strength, ambient,
-    absorbed_dim, shadow,
-):
-    min_d = jnp.full((k2, 128), _BIGF, jnp.float32)
-    wvx = jnp.zeros((k2, 128), jnp.float32)
-    wvy = jnp.zeros((k2, 128), jnp.float32)
-    wcr = jnp.zeros((k2, 128), jnp.float32)
-    wcg = jnp.zeros((k2, 128), jnp.float32)
-    wcb = jnp.zeros((k2, 128), jnp.float32)
+def _planck_factor(d_safe, lam: float, temp: float):
+    """Stable blackbody channel ratio — mirrors raytrace.planck_channel_factor
+    exactly (exp(x - x/D) * (1 - e^-x) / (1 - e^-x/D), exponent clamped)."""
+    x = _HC_OVER_K / (lam * temp)
+    expo = jnp.clip(x - x / d_safe, -80.0, 80.0)
+    num = -jnp.expm1(jnp.float32(-x))
+    den = -jnp.expm1(-x / d_safe)
+    return jnp.exp(expo) * num / jnp.maximum(den, 1e-38)
 
-    for j in range(cap):
-        f = lambda i: vdat_ref[i, j, :].reshape(1, 128)
-        ax, ay = f(_F_AX), f(_F_AY)
-        bx, by = f(_F_BX), f(_F_BY)
-        ta = f(_F_TA)
-        tau = (t_e - ta) * inv_dt
-        in_time = (tau >= -0.001) & (tau <= 1.001)
-        tau_c = jnp.clip(tau, 0.0, 1.0)
-        dx = pxw - (ax + tau_c * (bx - ax))
-        dy = pyw - (ay + tau_c * (by - ay))
-        dist2 = dx * dx + dy * dy
-        better = in_time & (dist2 <= rho2) & (dist2 < min_d)
-        min_d = jnp.where(better, dist2, min_d)
-        wvx = jnp.where(better, f(_F_VX), wvx)
-        wvy = jnp.where(better, f(_F_VY), wvy)
-        wcr = jnp.where(better, f(_F_CR), wcr)
-        wcg = jnp.where(better, f(_F_CG), wcg)
-        wcb = jnp.where(better, f(_F_CB), wcb)
+
+def _shade_group(
+    vdat_ref, lo_ref, hi_ref, out_ref, depth, pxw, pyw, r, t_e, blocked,
+    inv_dt, rho2, t_now, cxm, cym, cvx, cvy, *,
+    k2, use_rays, doppler, beaming, spectral, spectral_temp,
+    doppler_strength, ambient, absorbed_dim, shadow,
+):
+    lo = lo_ref[0, 0, :].reshape(1, 128)
+    hi = hi_ref[0, 0, :].reshape(1, 128)
+
+    def w_body(w, carry):
+        min_d, wvx, wvy, wcr, wcg, wcb = carry
+        slab = vdat_ref[pl.ds(w * 8, 8), :, :]  # (8, 16, 128)
+        for s in range(8):
+            j = w * 8 + s
+            f = lambda i: slab[s, i, :].reshape(1, 128)
+            ax, ay = f(_F_AX), f(_F_AY)
+            bx, by = f(_F_BX), f(_F_BY)
+            ta = f(_F_TA)
+            tau = (t_e - ta) * inv_dt
+            in_time = (tau >= -0.001) & (tau <= 1.001)
+            tau_c = jnp.clip(tau, 0.0, 1.0)
+            dx = pxw - (ax + tau_c * (bx - ax))
+            dy = pyw - (ay + tau_c * (by - ay))
+            dist2 = dx * dx + dy * dy
+            mine = (j >= lo) & (j < hi)  # slot belongs to this lane's cell
+            better = mine & in_time & (dist2 <= rho2) & (dist2 < min_d)
+            min_d = jnp.where(better, dist2, min_d)
+            wvx = jnp.where(better, f(_F_VX), wvx)
+            wvy = jnp.where(better, f(_F_VY), wvy)
+            wcr = jnp.where(better, f(_F_CR), wcr)
+            wcg = jnp.where(better, f(_F_CG), wcg)
+            wcb = jnp.where(better, f(_F_CB), wcb)
+        return min_d, wvx, wvy, wcr, wcg, wcb
+
+    zero = lambda: jnp.zeros((k2, 128), jnp.float32)
+    min_d, wvx, wvy, wcr, wcg, wcb = jax.lax.fori_loop(
+        0, depth, w_body,
+        (jnp.full((k2, 128), _BIGF, jnp.float32),
+         zero(), zero(), zero(), zero(), zero()),
+    )
 
     occupied = min_d < _BIGF
 
@@ -162,7 +198,7 @@ def _shade_group(
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
     nx = (cxm - pxw) * inv_r
     ny = (cym - pyw) * inv_r
-    if doppler or beaming:
+    if doppler or beaming or spectral:
         c2 = jnp.float32(1.0)
         v2s = wvx * wvx + wvy * wvy
         gs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - v2s / c2, 1e-12))
@@ -173,7 +209,14 @@ def _shade_group(
         d = d_src * d_cam
     else:
         d = jnp.ones_like(r)
-    if doppler:
+    if spectral:
+        # exact blackbody photometry (beaming inherent, D^3 flag ignored —
+        # mirrors shade_channels' spectral branch)
+        d_safe = jnp.maximum(d, 1e-3)
+        sr = wcr * _planck_factor(d_safe, _LAMBDA_RGB[0], spectral_temp)
+        sg = wcg * _planck_factor(d_safe, _LAMBDA_RGB[1], spectral_temp)
+        sb = wcb * _planck_factor(d_safe, _LAMBDA_RGB[2], spectral_temp)
+    elif doppler:
         t = jnp.clip(
             jnp.log2(jnp.maximum(d, 1e-6)) * jnp.float32(doppler_strength),
             -2.5, 2.5,
@@ -186,7 +229,7 @@ def _shade_group(
         sr, sg, sb = outs
     else:
         sr, sg, sb = wcr, wcg, wcb
-    if beaming:
+    if beaming and not spectral:
         boost = d * d * d
         sr, sg, sb = sr * boost, sg * boost, sb * boost
     amb = jnp.float32(ambient)
@@ -212,18 +255,21 @@ def _shade_group(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "cap", "hc", "wgroups", "use_rays", "retarded", "doppler",
-        "beaming", "rho", "dt", "doppler_strength", "ambient", "absorbed_dim",
+        "k", "hc", "wgroups", "use_rays", "retarded", "doppler",
+        "beaming", "spectral", "spectral_temp", "rho", "dt",
+        "doppler_strength", "ambient", "absorbed_dim",
         "shadow", "camera_frame", "interpret", "shard",
     ),
 )
 def pixel_pass_pallas(
-    vdat_t: jax.Array,  # (10, cap, hc*wgroups*128) f32
+    vdat_t: jax.Array,  # (S, 16, hc*wgroups*128) f32 sorted-window slots
+    wlo: jax.Array,  # (hc, wgroups*128) i32 first window slot per cell
+    whi: jax.Array,  # (hc, wgroups*128) i32 end of window slots per cell
+    depth: jax.Array,  # (hc, wgroups) i32 W-rows to scan per group
     sfpx: jax.Array,  # (hc, k2, wgroups*128) f32 (ignored unless use_rays)
     scal: jax.Array,  # (8,) f32
     *,
     k: int,
-    cap: int,
     hc: int,
     wgroups: int,
     use_rays: bool,
@@ -236,6 +282,8 @@ def pixel_pass_pallas(
     ambient: float,
     absorbed_dim: float,
     shadow: float,
+    spectral: bool = False,
+    spectral_temp: float = 6500.0,
     camera_frame: bool = False,
     interpret: bool = False,
     shard: "tuple | None" = None,  # (Mesh, axis): shard cell rows over chips
@@ -247,36 +295,34 @@ def pixel_pass_pallas(
     cells; each chip shades its band of image rows with the same kernel
     (VERDICT r2 #2: multi-chip used to force the XLA pixel path)."""
     k2 = k * k
+    s_slots = vdat_t.shape[0]
     kernel = functools.partial(
         _pixel_kernel,
-        k=k, cap=cap, wgroups=wgroups, use_rays=use_rays, retarded=retarded,
-        doppler=doppler, beaming=beaming, rho=rho, dt=dt,
+        k=k, use_rays=use_rays, retarded=retarded,
+        doppler=doppler, beaming=beaming, spectral=spectral,
+        spectral_temp=spectral_temp, rho=rho, dt=dt,
         doppler_strength=doppler_strength, ambient=ambient,
         absorbed_dim=absorbed_dim, shadow=shadow, camera_frame=camera_frame,
     )
 
     def wrapped(*refs):
         if use_rays:
-            scal_ref, occ_ref, vdat_ref, sfpx_ref, out_ref = refs
+            scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, sfpx_ref, out_ref = refs
         else:
-            scal_ref, occ_ref, vdat_ref, out_ref = refs
+            scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, out_ref = refs
             sfpx_ref = None
-        kernel(scal_ref, occ_ref, vdat_ref, sfpx_ref, out_ref)
+        kernel(scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, sfpx_ref, out_ref)
 
-    # per-128-cell-group occupancy (any non-sentinel candidate): the kernel
-    # skips the cap-deep loop for empty groups
-    group_occ = jnp.any(
-        (vdat_t[0] < 1.0e8).reshape(cap, hc, wgroups, 128), axis=(0, 3)
-    ).astype(jnp.int32)
-
-    def run(scal9, occ_loc, vdat_loc, sfpx_loc):
-        hc_loc = occ_loc.shape[0]
+    def run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc):
+        hc_loc = depth_loc.shape[0]
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # group occupancy
-            pl.BlockSpec((10, cap, 128), lambda r, g: (0, 0, r * wgroups + g)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-group depth
+            pl.BlockSpec((s_slots, 16, 128), lambda r, g: (0, 0, r * wgroups + g)),
+            pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
+            pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
         ]
-        operands = [scal9, occ_loc, vdat_loc]
+        operands = [scal9, depth_loc, vdat_loc, lo_loc, hi_loc]
         if use_rays:
             in_specs.append(
                 pl.BlockSpec((1, k2, 128), lambda r, g: (r, 0, g)))
@@ -294,7 +340,9 @@ def pixel_pass_pallas(
 
     if shard is None:
         scal9 = jnp.concatenate([scal, jnp.zeros((1,), jnp.float32)])
-        return run(scal9, group_occ, vdat_t, sfpx)
+        return run(
+            scal9, depth, vdat_t, wlo[:, None, :], whi[:, None, :], sfpx
+        )
 
     from jax.sharding import PartitionSpec as P
 
@@ -305,26 +353,29 @@ def pixel_pass_pallas(
     hcp = -(-hc // d) * d
     rpad = hcp - hc
     wcp = wgroups * 128
-    # pad cell rows to the mesh: sentinel candidates (2e9) shade to
-    # background; padded output rows are sliced off
+    # pad cell rows to the mesh: padded groups get depth 0 (the kernel
+    # shades pure background); padded output rows are sliced off
     vdat_p = jnp.pad(
-        vdat_t.reshape(10, cap, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
-        constant_values=2.0e9,
-    ).reshape(10, cap, hcp * wcp)
+        vdat_t.reshape(s_slots, 16, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
+    ).reshape(s_slots, 16, hcp * wcp)
+    lo_p = jnp.pad(wlo, ((0, rpad), (0, 0)))[:, None, :]
+    hi_p = jnp.pad(whi, ((0, rpad), (0, 0)))[:, None, :]
     sfpx_p = jnp.pad(sfpx, ((0, rpad), (0, 0), (0, 0)))
-    occ_p = jnp.pad(group_occ, ((0, rpad), (0, 0)))
+    depth_p = jnp.pad(depth, ((0, rpad), (0, 0)))
 
-    def run_shard(scal, occ_loc, vdat_loc, sfpx_loc):
+    def run_shard(scal, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc):
         row_off = jax.lax.axis_index(axis) * (hcp // d)
         scal9 = jnp.concatenate([scal, row_off[None].astype(jnp.float32)])
-        return run(scal9, occ_loc, vdat_loc, sfpx_loc)
+        return run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc)
 
     out = shard_map_nocheck(
         run_shard,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(None, None, axis), P(axis, None, None)),
+        in_specs=(P(), P(axis, None), P(None, None, axis),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
         out_specs=P(None, axis, None, None),
-    )(scal, occ_p, vdat_p, sfpx_p)
+    )(scal, depth_p, vdat_p, lo_p, hi_p, sfpx_p)
     return out[:, :hc]
 
 
