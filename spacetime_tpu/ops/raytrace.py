@@ -637,18 +637,17 @@ def _band_pairs(
     col = lambda c: jnp.broadcast_to(
         prgb[:, c][:, None], (n, band)
     ).reshape(-1)
-    zcol = jnp.zeros((n * band,), jnp.float32)
-    # field-major stack + one explicit transpose: stacking 16 (rows,)
+    # field-major stack + one explicit transpose: stacking 10 (rows,)
     # columns along the MINOR axis makes XLA write every column with a
-    # 16-element stride (1.19 ms traced at 116k); the (16, rows) stack is
-    # 16 contiguous plane copies and the transpose a single relayout pass
+    # 10-element stride (1.19 ms traced at 116k); the (10, rows) stack is
+    # 10 contiguous plane copies and the transpose a single relayout pass
     pdata = jnp.stack(
         [
             keep(qax), keep(qay), keep(qbx), keep(qby),
             jnp.where(valid, pta, 0.0).reshape(-1),
             pvx.reshape(-1), pvy.reshape(-1),
             col(0), col(1), col(2),
-        ] + [zcol] * 6,
+        ],
         axis=0,
     ).T
     return PairData(
@@ -718,14 +717,13 @@ class PairData(NamedTuple):
     Shading inputs (velocity, albedo) are resolved PER PAIR here so the
     per-pixel pass selects them by masked reduction with zero gathers.
 
-    The flat-spacetime builders emit 16 columns (10 _F_* fields + 6 zero
-    pads) so _splat_windows can reshape gathered rows straight into
-    128-lane W-rows of 8 entries x 16 fields (a host-side pad to 16 traced
-    1.1 ms/frame at 116k); the curved-path builders (ops/curved.py,
-    ops/btz.py) stay 10-wide — they feed the XLA block map, which is
-    width-agnostic."""
+    All builders emit the 10 _F_* columns; _splat_windows reshapes gathered
+    rows into 80-lane W-rows of 8 entries x 10 fields (a 16-field zero pad
+    was tried round 5 and REVERTED: the padded rows inflated the window
+    gather + relayout and the kernel DMA by 60% — ~1 ms/frame at 116k —
+    for no win; 80-wide row gathers are row-count-bound, not width-bound)."""
 
-    pdata: jax.Array  # (N * band, 16) f32 — see _F_* field order
+    pdata: jax.Array  # (N * band, 10) f32 — see _F_* field order
     pair_valid: jax.Array  # (N * band,)
     n_pairs: jax.Array  # () i32
 
@@ -891,7 +889,7 @@ def _build_view_tables(
     )
     wc_img, hc_img = geom[0], geom[1]
     vok = vslot >= 0
-    nf = pairs.pdata.shape[1]  # 16 (flat builders) or 10 (curved paths)
+    nf = pairs.pdata.shape[1]  # 10 (_F_* field order)
     vdat = pairs.pdata[jnp.maximum(vslot, 0)]  # (hc_img, wc_img, cap, nf)
 
     n_img_cells = wc_img * hc_img
@@ -920,7 +918,7 @@ def _splat_windows(
          searchsorted over the sorted keys (hc * (wc+1) consecutive-key
          queries — cell boundaries share endpoints);
       3. gather pair rows once in SORTED-ENTRY order (entry_budget rows, not
-         cells x cap), pack 8 entries x 16 fields per 128-lane row, and
+         cells x cap), pack 8 entries x 10 fields per 80-lane row, and
          fetch each cell's 8-aligned window rows with one more row gather;
       4. the kernel masks slots by index (lo <= j < hi per cell lane)
          instead of sentinel candidates, and loops a PER-GROUP dynamic depth
@@ -931,7 +929,7 @@ def _splat_windows(
     overflow drops the farthest-quantile entries exactly like the vslot
     path and is counted in bin_dropped for the engine's adaptation.
 
-    Returns (vdat_t (S, 16, hc*wcp) f32, lo (hc, wcp) i32, hi (hc, wcp) i32,
+    Returns (vdat_t (S, 10, hc*wcp) f32, lo (hc, wcp) i32, hi (hc, wcp) i32,
     depth (hc, wgroups) i32, bin_dropped, entry_dropped, cell_too_small,
     geom).
     """
@@ -1018,20 +1016,21 @@ def _splat_windows(
     depth = jnp.max(hi_p.reshape(hc_img, wgroups, 128), axis=2)
     depth = (depth + 7) // 8  # W-rows the kernel loops, per 128-cell group
 
-    # entry rows in sorted order: ONE 16-wide row gather (E rows — pdata is
-    # assembled 16-wide so the rows reshape to 128-lane W-rows for free),
-    # then one W-row gather (cells * s_rows rows of one 128-lane row each).
-    # Lane padding rides the INDEX array (tiny) — padding the gathered data
-    # itself traced 1.3 ms of pure relayout.
-    assert pairs.pdata.shape[1] == 16, "pdata must be 16-wide (see PairData)"
-    edat8 = pairs.pdata[sval].reshape(e8, 128)  # 8 entries x 16 fields/row
+    # entry rows in sorted order: ONE 10-wide row gather (E rows; the free
+    # reshape packs 8 entries x 10 fields per 80-lane W-row — row gathers
+    # are row-count-bound, so the narrower rows cost the same gather time
+    # and 40% fewer relayout/DMA bytes than a 128-lane pad), then one W-row
+    # gather (cells * s_rows rows).  Lane padding rides the INDEX array
+    # (tiny) — padding the gathered data itself traced 1.3 ms of relayout.
+    assert pairs.pdata.shape[1] == 10, "pdata must be 10-wide (see PairData)"
+    edat8 = pairs.pdata[sval].reshape(e8, 80)  # 8 entries x 10 fields/row
     widx = jnp.minimum(
         start8[:, :, None] + jnp.arange(s_rows, dtype=jnp.int32), e8 - 1
     )
     widx = jnp.pad(widx, ((0, 0), (0, cpad), (0, 0)))
-    vdatw = edat8[widx.reshape(-1)].reshape(hc_img, wcp, s_rows, 8, 16)
+    vdatw = edat8[widx.reshape(-1)].reshape(hc_img, wcp, s_rows, 8, 10)
     vdat_t = vdatw.transpose(2, 3, 4, 0, 1).reshape(
-        s_rows * 8, 16, hc_img * wcp
+        s_rows * 8, 10, hc_img * wcp
     )
     return (
         vdat_t, lo_p, hi_p, depth,
@@ -1255,13 +1254,12 @@ def _instant_pairs(buf, obj_index, objects, params: RenderParams):
     far = 2.0e9
     keep = lambda v: jnp.where(valid, v, far)
     colr = lambda c: objects.base_color[:, c][obj_index]
-    zcol = jnp.zeros((n,), jnp.float32)
     pdata = jnp.stack(
         [
             keep(qax), keep(qay), keep(qbx), keep(qby),
             jnp.broadcast_to(pta, (n,)),
             pvx, pvy, colr(0), colr(1), colr(2),
-        ] + [zcol] * 6,
+        ],
         axis=-1,
     )
     return PairData(
@@ -1440,12 +1438,10 @@ def _band_pairs_nocull(buf, obj_index, objects, cam, t_now, params):
     colr = lambda c: jnp.broadcast_to(
         objects.base_color[:, c][obj_index][:, None], (n, band)
     ).reshape(-1)
-    zcol = jnp.zeros((n * band,), jnp.float32)
     pdata = jnp.stack(
         [keep(qax), keep(qay), keep(qbx), keep(qby),
          jnp.where(valid, pta, 0.0).reshape(-1),
-         pvx.reshape(-1), pvy.reshape(-1), colr(0), colr(1), colr(2)]
-        + [zcol] * 6,
+         pvx.reshape(-1), pvy.reshape(-1), colr(0), colr(1), colr(2)],
         axis=-1,
     )
     return PairData(

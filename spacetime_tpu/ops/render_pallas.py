@@ -13,7 +13,7 @@ composition into one pass.
 Layout (cells-on-lanes, sorted-window fold — round 5):
   * grid = (hc, wgroups): one step per 128 view cells of one cell-row.
   * Pixel ops are (k2, 128) blocks: sublane = pixel-within-cell, lane = cell.
-  * vdat_t is (S, 16, n_cells_pad): slot-major so the candidate loop's
+  * vdat_t is (S, 10, n_cells_pad): slot-major so the candidate loop's
     dynamic W-row index rides the LEADING dim (the paged-KV rule, see
     forces_pallas.py); per slot j, field f, the slice [j, f, :] is one
     (1, 128) sublane row broadcast over k2 pixel sublanes — no gathers, no
@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIGF = 3.0e38  # python float: kernels must not capture device constants
 
-# field order must match raytrace.PairData pdata columns (padded to 16)
+# field order must match raytrace.PairData pdata columns
 _F_AX, _F_AY, _F_BX, _F_BY, _F_TA, _F_VX, _F_VY, _F_CR, _F_CG, _F_CB = range(10)
 
 # channel wavelengths + h*c/k for the spectral model — must mirror
@@ -54,7 +54,7 @@ _HC_OVER_K = 1.43877688e-2
 def _pixel_kernel(
     scal_ref,  # SMEM (9,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, px_size, row_off
     depth_ref,  # SMEM (hc, wgroups) i32: W-rows to scan in this 128-cell group
-    vdat_ref,  # VMEM (S, 16, 128) sorted-window candidate slots
+    vdat_ref,  # VMEM (S, 10, 128) sorted-window candidate slots
     lo_ref,  # VMEM (1, 1, 128) i32: first window slot per cell lane
     hi_ref,  # VMEM (1, 1, 128) i32: end of window slots per cell lane
     sfpx_ref,  # VMEM (1, k2, 128) or None (x-ray / instantaneous)
@@ -162,7 +162,7 @@ def _shade_group(
 
     def w_body(w, carry):
         min_d, wvx, wvy, wcr, wcg, wcb = carry
-        slab = vdat_ref[pl.ds(w * 8, 8), :, :]  # (8, 16, 128)
+        slab = vdat_ref[pl.ds(w * 8, 8), :, :]  # (8, 10, 128)
         for s in range(8):
             j = w * 8 + s
             f = lambda i: slab[s, i, :].reshape(1, 128)
@@ -262,7 +262,7 @@ def _shade_group(
     ),
 )
 def pixel_pass_pallas(
-    vdat_t: jax.Array,  # (S, 16, hc*wgroups*128) f32 sorted-window slots
+    vdat_t: jax.Array,  # (S, 10, hc*wgroups*128) f32 sorted-window slots
     wlo: jax.Array,  # (hc, wgroups*128) i32 first window slot per cell
     whi: jax.Array,  # (hc, wgroups*128) i32 end of window slots per cell
     depth: jax.Array,  # (hc, wgroups) i32 W-rows to scan per group
@@ -318,7 +318,7 @@ def pixel_pass_pallas(
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-group depth
-            pl.BlockSpec((s_slots, 16, 128), lambda r, g: (0, 0, r * wgroups + g)),
+            pl.BlockSpec((s_slots, 10, 128), lambda r, g: (0, 0, r * wgroups + g)),
             pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
             pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
         ]
@@ -356,8 +356,8 @@ def pixel_pass_pallas(
     # pad cell rows to the mesh: padded groups get depth 0 (the kernel
     # shades pure background); padded output rows are sliced off
     vdat_p = jnp.pad(
-        vdat_t.reshape(s_slots, 16, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
-    ).reshape(s_slots, 16, hcp * wcp)
+        vdat_t.reshape(s_slots, 10, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
+    ).reshape(s_slots, 10, hcp * wcp)
     lo_p = jnp.pad(wlo, ((0, rpad), (0, 0)))[:, None, :]
     hi_p = jnp.pad(whi, ((0, rpad), (0, 0)))[:, None, :]
     sfpx_p = jnp.pad(sfpx, ((0, rpad), (0, 0), (0, 0)))
