@@ -28,6 +28,8 @@
 //   int   ss_submit(void* h, const unsigned char* rgb);  // w*h*3 bytes
 //   long  ss_clients(void* h);
 //   long  ss_frames(void* h);         // frames encoded so far
+//   void  ss_set_key_token(void* h, const char* token);
+//         // when set, /key requests need t=<token> (see key_token below)
 //   int   ss_poll_keys(void* h, char* buf, int buflen);
 //         // drains queued key events into buf as newline-separated
 //         // "<down> <key>" records ("1 a\n0 ArrowLeft\n"); returns bytes
@@ -141,8 +143,12 @@ const char* kIndexHtml =
     "</style></head><body><img src=\"/stream\">"
     // keyboard events back to the engine: a/d/w/s + arrows pan, z/x zoom,
     // p pause, +/- max-FPS, o boosted view, [/]{/} 3D spin (viewer.apply_key)
-    "<script>const s=(d,e)=>{if(e.key&&!e.metaKey&&!e.ctrlKey)"
-    "fetch('/key?d='+d+'&k='+encodeURIComponent(e.key))};"
+    // a key token (non-loopback binds) rides the page URL: /?t=TOKEN is
+    // echoed back on every /key fetch
+    "<script>const tk=new URLSearchParams(location.search).get('t');"
+    "const s=(d,e)=>{if(e.key&&!e.metaKey&&!e.ctrlKey)"
+    "fetch('/key?d='+d+'&k='+encodeURIComponent(e.key)"
+    "+(tk?'&t='+encodeURIComponent(tk):''))};"
     "window.addEventListener('keydown',e=>{if(!e.repeat)s(1,e)});"
     "window.addEventListener('keyup',e=>s(0,e));</script>"
     "</body></html>";
@@ -190,6 +196,11 @@ struct StreamSink {
   std::mutex keys_mu;
   std::vector<std::string> key_events;  // each "<down> <key>"
   static constexpr size_t kMaxKeyQueue = 256;
+  // when non-empty, /key requests must carry a matching t=<token> or the
+  // event is dropped: /key steers (and can terminate) the engine, so a
+  // non-loopback bind without a shared secret would hand control to any
+  // network peer that can reach the stream port (ADVICE r4)
+  std::string key_token;
 
   std::thread encoder;
   std::thread acceptor;
@@ -252,7 +263,7 @@ struct StreamSink {
       size_t eol = req.find(' ', 9);  // end of request-target
       std::string qs = req.substr(9, eol == std::string::npos ? std::string::npos
                                                               : eol - 9);
-      std::string down, name;
+      std::string down, name, tok;
       size_t pos = 0;
       while (pos < qs.size()) {
         size_t amp = qs.find('&', pos);
@@ -261,8 +272,17 @@ struct StreamSink {
                                             : amp - pos);
         if (kv.compare(0, 2, "d=") == 0) down = kv.substr(2);
         if (kv.compare(0, 2, "k=") == 0) name = url_decode(kv.substr(2));
+        if (kv.compare(0, 2, "t=") == 0) tok = url_decode(kv.substr(2));
         if (amp == std::string::npos) break;
         pos = amp + 1;
+      }
+      if (!key_token.empty() && tok != key_token) {
+        const char* resp =
+            "HTTP/1.1 403 Forbidden\r\nConnection: close\r\n\r\n";
+        send_all(fd, resp, std::strlen(resp));
+        ::close(fd);
+        n_clients.fetch_sub(1);
+        return;
       }
       if (!name.empty() && name.size() <= 32 &&
           name.find('\n') == std::string::npos) {
@@ -402,6 +422,12 @@ void* ss_create(const char* bind_addr, int port, int width, int height,
 }
 
 int ss_port(void* h) { return static_cast<StreamSink*>(h)->port; }
+
+// install a shared key-input token (call once, before serving clients —
+// written without keys_mu, so concurrent mutation would race client threads)
+void ss_set_key_token(void* h, const char* token) {
+  static_cast<StreamSink*>(h)->key_token = token ? token : "";
+}
 
 int ss_submit(void* h, const unsigned char* rgb) {
   auto* s = static_cast<StreamSink*>(h);

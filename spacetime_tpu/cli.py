@@ -104,7 +104,10 @@ def main(argv=None) -> int:
                 if stream is None:
                     stream = StreamSink(args.serve, arr.shape[1],
                                         arr.shape[0], bind=args.serve_bind)
-                    print(f"# live view: http://{args.serve_bind}:{stream.port}/"
+                    # non-loopback binds get an auto key token — /key steers
+                    # the engine, so the URL carries the shared secret
+                    tok = f"?t={stream.key_token}" if stream.key_token else ""
+                    print(f"# live view: http://{args.serve_bind}:{stream.port}/{tok}"
                           f" ({'native' if stream.native else 'python'})",
                           file=sys.stderr)
                 if args.overlay:

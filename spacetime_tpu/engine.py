@@ -20,6 +20,8 @@ Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import os
+import tempfile
 import time
 from typing import Callable, Dict, Optional
 
@@ -92,9 +94,28 @@ def _ensure_compilation_cache() -> None:
     (boilerplate.rs:161-206, main.rs:354-359); library users constructing an
     Engine from Python should not pay full ~20 s/zoom-level compiles every
     run just because they didn't go through cli.py (VERDICT r3 missing #3).
-    A user-set cache dir is respected."""
+    A user-set cache dir is respected.
+
+    The directory is PER-USER with mode 0o700 (a fixed world-predictable
+    path would let another local user pre-create it and plant poisoned
+    compiled executables, or break writes via ownership conflicts)."""
     if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        cache_dir = os.environ.get("SPACETIME_TPU_CACHE_DIR")
+        if cache_dir is None:
+            uid = os.getuid() if hasattr(os, "getuid") else "user"
+            cache_dir = os.path.join(
+                tempfile.gettempdir(), f"jax_cache_{uid}"
+            )
+        try:
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            if os.stat(cache_dir).st_uid != os.getuid():
+                raise PermissionError(f"{cache_dir} owned by another user")
+        except OSError as e:
+            logmod.get().warning(
+                "compilation cache disabled (%s): %s", cache_dir, e
+            )
+            return
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
@@ -1159,11 +1180,13 @@ class Engine:
         checkpoint into a deliberately different config)."""
         from .utils import checkpoint
 
-        (self.particles, self.worldline, self.camera), meta = checkpoint.load(
+        # load into locals and validate BEFORE committing any field: a
+        # fingerprint mismatch raised mid-assignment would leave the engine
+        # mixed (checkpoint arrays + old time/frame/budgets) for callers
+        # that catch the ValueError
+        (particles, worldline, cam), meta = checkpoint.load(
             path, (self.particles, self.worldline, self.camera)
         )
-        if self.mesh is not None:
-            self._shard_state()  # restored arrays land back on the mesh
         fp = meta.get("config_fingerprint")
         if strict and fp is not None and fp != self._config_fingerprint():
             raise ValueError(
@@ -1171,6 +1194,9 @@ class Engine:
                 "config/scene (fingerprint mismatch) — construct the engine "
                 "with the saved run's config, or pass strict=False"
             )
+        self.particles, self.worldline, self.camera = particles, worldline, cam
+        if self.mesh is not None:
+            self._shard_state()  # restored arrays land back on the mesh
         self.time = float(meta["time"])
         self.frame = int(meta["frame"])
         if "wmax" in meta and int(meta["wmax"]) != self.model.wmax:

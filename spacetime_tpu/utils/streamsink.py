@@ -69,6 +69,9 @@ def _load():
     lib.ss_frames.argtypes = [ctypes.c_void_p]
     lib.ss_poll_keys.restype = ctypes.c_int
     lib.ss_poll_keys.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "ss_set_key_token"):  # a stale .so predates the token API
+        lib.ss_set_key_token.restype = None
+        lib.ss_set_key_token.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ss_close.restype = None
     lib.ss_close.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -78,9 +81,11 @@ def _load():
 class _PyMjpegServer:
     """Pure-Python fallback: ThreadingHTTPServer streaming PIL-encoded JPEG."""
 
-    def __init__(self, port: int, quality: int, bind: str = "127.0.0.1"):
+    def __init__(self, port: int, quality: int, bind: str = "127.0.0.1",
+                 key_token: str = ""):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+        self._key_token = key_token
         self._cond = threading.Condition()
         self._jpeg: Optional[bytes] = None
         self._seq = 0
@@ -98,6 +103,12 @@ class _PyMjpegServer:
                     from urllib.parse import parse_qs, urlsplit
 
                     q = parse_qs(urlsplit(self.path).query)
+                    if outer._key_token and (
+                        (q.get("t") or [""])[0] != outer._key_token
+                    ):
+                        self.send_response(403)
+                        self.end_headers()
+                        return
                     name = (q.get("k") or [""])[0]
                     down = (q.get("d") or ["1"])[0] != "0"
                     if name and len(name) <= 32 and "\n" not in name:
@@ -175,9 +186,15 @@ class StreamSink:
     frames; browse to http://host:port/ to watch."""
 
     def __init__(self, port: int, width: int, height: int, quality: int = 85,
-                 bind: str = "127.0.0.1"):
+                 bind: str = "127.0.0.1", key_token: Optional[str] = None):
         """`bind` defaults to loopback: the stream has no auth, so exposing
-        it to the network is opt-in (bind='0.0.0.0')."""
+        it to the network is opt-in (bind='0.0.0.0').
+
+        `key_token`: shared secret gating /key input (which steers — and via
+        'q' can terminate — the engine).  On a non-loopback bind a token is
+        REQUIRED unless key_token='' explicitly opts out; browse to
+        http://host:port/?t=<token> so the page echoes it on key events.
+        The pure-Python fallback applies the same gate."""
         # Resolve to a literal IPv4 address up front: the native server
         # falls back to LOOPBACK whenever inet_pton fails (hostnames, IPv6),
         # which would silently serve on 127.0.0.1 while the CLI prints the
@@ -189,7 +206,15 @@ class StreamSink:
             socket.inet_aton(bind)
         except OSError:
             bind = socket.gethostbyname(bind)
+        if key_token is None:
+            if bind.startswith("127."):
+                key_token = ""  # loopback: the host boundary is the gate
+            else:
+                import secrets
+
+                key_token = secrets.token_urlsafe(12)
         self.bind = bind
+        self.key_token = key_token
         self.width, self.height = width, height
         self._lib = _load()
         self._handle = None
@@ -198,8 +223,14 @@ class StreamSink:
             self._handle = self._lib.ss_create(
                 bind.encode(), port, width, height, quality
             )
+            if self._handle is not None and key_token and hasattr(
+                self._lib, "ss_set_key_token"
+            ):
+                self._lib.ss_set_key_token(self._handle, key_token.encode())
         if self._handle is None:
-            self._py = _PyMjpegServer(port, quality, bind=bind)
+            self._py = _PyMjpegServer(
+                port, quality, bind=bind, key_token=key_token
+            )
 
     @property
     def native(self) -> bool:

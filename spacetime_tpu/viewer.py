@@ -136,7 +136,10 @@ def run_viewer(
 
         stream = StreamSink(stream_port, arr0.shape[1], arr0.shape[0],
                             bind=stream_bind)
-        print(f"# live view: http://{stream_bind}:{stream.port}/")
+        # non-loopback binds get an auto key token (utils/streamsink.py):
+        # /key steers the engine, so the URL must carry the shared secret
+        tok = f"?t={stream.key_token}" if stream.key_token else ""
+        print(f"# live view: http://{stream_bind}:{stream.port}/{tok}")
     im = ax.imshow(arr0)
     ax.set_axis_off()
     title = ax.set_title("")

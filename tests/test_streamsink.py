@@ -173,6 +173,71 @@ def test_python_fallback_key_events():
         srv.close()
 
 
+def test_key_token_gates_input_native():
+    """With a key token set (auto on non-loopback binds), /key without the
+    matching t= is rejected and queues nothing; with it, events flow."""
+    s = StreamSink(port=0, width=16, height=16, key_token="sekrit")
+    try:
+        assert s.native
+        from urllib.error import HTTPError
+        from urllib.request import urlopen
+
+        with pytest.raises(HTTPError) as ei:
+            urlopen(f"http://127.0.0.1:{s.port}/key?d=1&k=q", timeout=5)
+        assert ei.value.code == 403
+        with pytest.raises(HTTPError):
+            urlopen(f"http://127.0.0.1:{s.port}/key?d=1&k=q&t=wrong",
+                    timeout=5)
+        urlopen(f"http://127.0.0.1:{s.port}/key?d=1&k=a&t=sekrit",
+                timeout=5).close()
+        deadline = time.time() + 5
+        got = []
+        while not got and time.time() < deadline:
+            got += s.poll_keys()
+            time.sleep(0.01)
+        assert got == [("a", True)]  # the rejected 'q' never queued
+        # the index page echoes the token from its own URL on key fetches
+        from urllib.request import urlopen as uo
+
+        body = uo(f"http://127.0.0.1:{s.port}/", timeout=5).read()
+        assert b"URLSearchParams" in body
+    finally:
+        s.close()
+
+
+def test_key_token_gates_input_fallback():
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from spacetime_tpu.utils.streamsink import _PyMjpegServer
+
+    srv = _PyMjpegServer(port=0, quality=85, key_token="tk")
+    try:
+        with pytest.raises(HTTPError) as ei:
+            urlopen(f"http://127.0.0.1:{srv.port}/key?d=1&k=q", timeout=5)
+        assert ei.value.code == 403
+        urlopen(f"http://127.0.0.1:{srv.port}/key?d=1&k=b&t=tk",
+                timeout=5).close()
+        deadline = time.time() + 5
+        got = []
+        while not got and time.time() < deadline:
+            got += srv.poll_keys()
+            time.sleep(0.01)
+        assert got == [("b", True)]
+    finally:
+        srv.close()
+
+
+def test_nonloopback_bind_autogenerates_token():
+    """Binding beyond loopback without an explicit token must auto-generate
+    one (ADVICE r4: /key can steer and kill the engine)."""
+    s = StreamSink(port=0, width=16, height=16, bind="0.0.0.0")
+    try:
+        assert s.key_token  # non-empty secret
+    finally:
+        s.close()
+
+
 def test_python_fallback_server():
     """The PIL/http.server fallback must work where the native lib can't."""
     from spacetime_tpu.utils.streamsink import _PyMjpegServer
