@@ -904,7 +904,8 @@ def _build_view_tables(
 
 
 def _splat_windows(
-    pairs: PairData, cam, width: int, height: int, params: RenderParams
+    pairs: PairData, cam, width: int, height: int, params: RenderParams,
+    sort_cells: bool = False,
 ):
     """Pallas-kernel bin layout, scatter-free (the round-5 "bin-fold").
 
@@ -931,7 +932,18 @@ def _splat_windows(
 
     Returns (vdat_t (S, 10, hc*wcp) f32, lo (hc, wcp) i32, hi (hc, wcp) i32,
     depth (hc, wgroups) i32, bin_dropped, entry_dropped, cell_too_small,
-    geom).
+    geom, cid, perm).
+
+    `sort_cells=True` reorders the cells by WINDOW DEPTH before grouping
+    (the round-5 occupancy sort): per-cell candidate counts are bimodal
+    (p50 = 0, p90 ~ 89 at the 116k demo), so row-major 128-cell groups pay
+    the loop depth of their fullest member while most lanes idle.  Sorting
+    makes groups depth-homogeneous — empty cells collapse into depth-0
+    groups the kernel skips entirely, and Sum_g max(depth) approaches
+    Sum_g mean(depth).  The layout then has hc = n_groups, wgroups = 1,
+    `cid` (G, 128) carries each lane's image cell id (the kernel derives
+    pixel coords from it), and `perm` (G*128,) maps sorted slot -> cell for
+    the caller's output unscramble.  Row-major mode returns cid=perm=None.
     """
     cap = params.bin_capacity
     key, val, wc, hc, geom, cell_too_small = _splat_keys(
@@ -1006,6 +1018,42 @@ def _splat_windows(
     bin_dropped = jnp.sum(jnp.maximum(cnt - retained, 0))
     need = lo_off + retained  # exclusive last slot the kernel must scan
 
+    if sort_cells:
+        # occupancy sort (see docstring): group cells by window depth so the
+        # kernel's per-group loop bound tracks the sorted distribution, not
+        # each row-major group's fullest member.  Pack (depth, cell) into
+        # one u32 so a single-operand sort yields the permutation.
+        n_cells = hc_img * wc_img
+        s_slots = s_rows * 8
+        assert n_cells < (1 << 21) and s_slots < (1 << 11), (
+            "occupancy-sort key packing: need n_cells < 2^21, depth < 2^11"
+        )
+        g = -(-n_cells // 128)
+        npad = g * 128 - n_cells
+        needf = need.reshape(-1)
+        keyd = (needf.astype(jnp.uint32) << 21) | jnp.arange(
+            n_cells, dtype=jnp.uint32
+        )
+        perm = (jax.lax.sort(keyd) & jnp.uint32((1 << 21) - 1)).astype(
+            jnp.int32
+        )
+        lo_s = jnp.pad(lo_off.reshape(-1)[perm], (0, npad)).reshape(g, 128)
+        hi_s = jnp.pad(needf[perm], (0, npad)).reshape(g, 128)
+        st8_s = jnp.pad(start8.reshape(-1)[perm], (0, npad)).reshape(g, 128)
+        cid = jnp.pad(perm, (0, npad)).reshape(g, 128)
+        depth_s = (jnp.max(hi_s, axis=1, keepdims=True) + 7) // 8  # (g, 1)
+        assert pairs.pdata.shape[1] == 10, "pdata must be 10-wide"
+        edat8 = pairs.pdata[sval].reshape(e8, 80)
+        widx = jnp.minimum(
+            st8_s[:, :, None] + jnp.arange(s_rows, dtype=jnp.int32), e8 - 1
+        )
+        vdatw = edat8[widx.reshape(-1)].reshape(g, 128, s_rows, 8, 10)
+        vdat_t = vdatw.transpose(2, 3, 4, 0, 1).reshape(s_slots, 10, g * 128)
+        return (
+            vdat_t, lo_s, hi_s, depth_s,
+            bin_dropped, entry_dropped, cell_too_small, geom, cid, perm,
+        )
+
     # kernel-layout padding: cells row-major, lanes padded to wgroups*128;
     # padded lanes get hi == lo == 0 (no slot ever valid -> background)
     wgroups = -(-wc_img // 128)
@@ -1034,7 +1082,7 @@ def _splat_windows(
     )
     return (
         vdat_t, lo_p, hi_p, depth,
-        bin_dropped, entry_dropped, cell_too_small, geom,
+        bin_dropped, entry_dropped, cell_too_small, geom, None, None,
     )
 
 
@@ -1505,12 +1553,19 @@ def _pixel_pass_pallas_path(
 
     k = params.cell_px
     k2 = k * k
+    # occupancy-sorted cell groups on single-chip paths (see _splat_windows);
+    # the mesh path keeps row-major cells (its shard_map splits cell ROWS)
+    sort_cells = params.shard is None
     (
         vdat_t, wlo, whi, depth,
-        bin_dropped, entry_dropped, cell_too_small, geom,
-    ) = _splat_windows(pairs, cam, width, height, params)
+        bin_dropped, entry_dropped, cell_too_small, geom, cid, perm,
+    ) = _splat_windows(pairs, cam, width, height, params,
+                       sort_cells=sort_cells)
     wc_img, hc_img, pixel_size, x0, y0 = geom
-    wgroups = -(-wc_img // 128)
+    if sort_cells:
+        hc_k, wgroups = wlo.shape[0], 1  # (G, 128) sorted layout
+    else:
+        hc_k, wgroups = hc_img, -(-wc_img // 128)
     wcp = wgroups * 128
     cxm, cym = cam.pos[0], cam.pos[1]
 
@@ -1520,10 +1575,16 @@ def _pixel_pass_pallas_path(
         ds = _occlusion_ds(params)
         kq = k // ds
         k2q = kq * kq
-        # retina lookup at quad centers, in (hc, k2q, wcp) kernel order
-        col = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 2)
-        p = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (hc_img, k2q, wcp), 0)
+        # retina lookup at quad centers, in (hc_k, k2q, wcp) kernel order;
+        # sorted layouts derive each lane's cell coords from cid
+        p = jax.lax.broadcasted_iota(jnp.int32, (hc_k, k2q, wcp), 1)
+        if sort_cells:
+            cidf = cid.reshape(hc_k, 1, wcp)
+            col = cidf % wc_img
+            row = cidf // wc_img
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (hc_k, k2q, wcp), 2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (hc_k, k2q, wcp), 0)
         gx = col * k + (p % kq) * ds
         gy = row * k + (p // kq) * ds
         sfq = _sfirst_lookup(
@@ -1531,20 +1592,20 @@ def _pixel_pass_pallas_path(
             camera_frame=params.camera_frame,
         )
         if ds > 1:
-            sfq = sfq.reshape(hc_img, kq, 1, kq, 1, wcp)
+            sfq = sfq.reshape(hc_k, kq, 1, kq, 1, wcp)
             sfq = jnp.broadcast_to(
-                sfq, (hc_img, kq, ds, kq, ds, wcp)
-            ).reshape(hc_img, k2, wcp)
+                sfq, (hc_k, kq, ds, kq, ds, wcp)
+            ).reshape(hc_k, k2, wcp)
         sfpx = sfq
     else:
-        sfpx = jnp.zeros((hc_img, k2, wcp), jnp.float32)
+        sfpx = jnp.zeros((hc_k, k2, wcp), jnp.float32)
 
     scal = jnp.stack(
         [t_now, cxm, cym, cam.vel[0], cam.vel[1], x0, y0, pixel_size]
     ).astype(jnp.float32)
     out = rp.pixel_pass_pallas(
         vdat_t, wlo, whi, depth, sfpx, scal,
-        k=k, hc=hc_img, wgroups=wgroups,
+        k=k, hc=hc_k, wgroups=wgroups,
         use_rays=use_rays, retarded=params.retarded,
         doppler=params.doppler, beaming=params.beaming,
         spectral=params.spectral, spectral_temp=params.spectral_temp,
@@ -1553,8 +1614,14 @@ def _pixel_pass_pallas_path(
         absorbed_dim=params.absorbed_dim, shadow=params.shadow,
         camera_frame=params.camera_frame,
         interpret=interpret, shard=params.shard,
+        cell_ids=cid, wc_img=wc_img,
     )
-    img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
+    if sort_cells:
+        img = rp.assemble_sorted(
+            out, perm, width, height, k, wc_img, hc_img, planar
+        )
+    else:
+        img = rp.assemble_cell_major(out, width, height, k, wc_img, planar)
     return img, bin_dropped, entry_dropped, cell_too_small
 
 

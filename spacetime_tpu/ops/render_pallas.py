@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,10 +58,12 @@ def _pixel_kernel(
     vdat_ref,  # VMEM (S, 10, 128) sorted-window candidate slots
     lo_ref,  # VMEM (1, 1, 128) i32: first window slot per cell lane
     hi_ref,  # VMEM (1, 1, 128) i32: end of window slots per cell lane
+    cid_ref,  # VMEM (1, 1, 128) i32 image cell id per lane, or None (row-major)
     sfpx_ref,  # VMEM (1, k2, 128) or None (x-ray / instantaneous)
     out_ref,  # VMEM (3, 1, k2, 128)
     *,
     k: int,
+    wc_img: int,
     use_rays: bool,
     retarded: bool,
     doppler: bool,
@@ -88,10 +91,17 @@ def _pixel_kernel(
     pixel_size = scal_ref[7]
 
     # pixel world coords: sublane p = y_in*k + x_in, lane = cell col in group
+    # (row-major) or the lane's cid (occupancy-sorted layouts)
     p = jax.lax.broadcasted_iota(jnp.int32, (k2, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (k2, 128), 1)
-    gx = (g_id * 128 + lane) * k + p % k
-    gy = r_id * k + p // k
+    if cid_ref is not None:
+        cell = cid_ref[0, 0, :].reshape(1, 128)
+        cy = cell // wc_img
+        gx = (cell - cy * wc_img) * k + p % k
+        gy = cy * k + p // k
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k2, 128), 1)
+        gx = (g_id * 128 + lane) * k + p % k
+        gy = r_id * k + p // k
     pxw = x0 + gx.astype(jnp.float32) * pixel_size
     pyw = y0 + gy.astype(jnp.float32) * pixel_size
 
@@ -111,7 +121,11 @@ def _pixel_kernel(
     t_e = t_now - r if retarded else jnp.broadcast_to(t_now, r.shape)
 
     inv_dt = jnp.float32(1.0 / dt)
-    rho2 = jnp.float32(rho * rho)
+    # one f32 ULP past rho^2 (static python float): `dist2 < rho2_edge`
+    # matches the XLA path's `dist2 <= rho2` acceptance exactly
+    rho2_edge = float(
+        np.nextafter(np.float32(rho * rho), np.float32(np.inf))
+    )
 
     if use_rays:
         blocked = sfpx_ref[0] < (r - 2.0 * jnp.float32(rho))
@@ -133,7 +147,7 @@ def _pixel_kernel(
     def _occupied_group():
         _shade_group(
             vdat_ref, lo_ref, hi_ref, out_ref, depth, pxw, pyw, r, t_e,
-            blocked, inv_dt, rho2, t_now, cxm, cym, cvx, cvy,
+            blocked, inv_dt, rho2_edge, t_now, cxm, cym, cvx, cvy,
             k2=k2, use_rays=use_rays, doppler=doppler,
             beaming=beaming, spectral=spectral, spectral_temp=spectral_temp,
             doppler_strength=doppler_strength,
@@ -153,13 +167,17 @@ def _planck_factor(d_safe, lam: float, temp: float):
 
 def _shade_group(
     vdat_ref, lo_ref, hi_ref, out_ref, depth, pxw, pyw, r, t_e, blocked,
-    inv_dt, rho2, t_now, cxm, cym, cvx, cvy, *,
+    inv_dt, rho2_edge, t_now, cxm, cym, cvx, cvy, *,
     k2, use_rays, doppler, beaming, spectral, spectral_temp,
     doppler_strength, ambient, absorbed_dim, shadow,
 ):
     lo = lo_ref[0, 0, :].reshape(1, 128)
     hi = hi_ref[0, 0, :].reshape(1, 128)
 
+    # min_d starts one f32 ULP past rho^2 (rho2_edge, static), so
+    # `dist2 < min_d` subsumes the XLA path's `dist2 <= rho2` acceptance
+    # EXACTLY (same f32 boundary) and the in-disc test costs zero extra ops
+    # per slot; occupied lanes are the ones whose min dropped to <= rho2
     def w_body(w, carry):
         min_d, wvx, wvy, wcr, wcg, wcb = carry
         slab = vdat_ref[pl.ds(w * 8, 8), :, :]  # (8, 10, 128)
@@ -170,13 +188,14 @@ def _shade_group(
             bx, by = f(_F_BX), f(_F_BY)
             ta = f(_F_TA)
             tau = (t_e - ta) * inv_dt
-            in_time = (tau >= -0.001) & (tau <= 1.001)
+            # |tau - 0.5| <= 0.501 == (-0.001 <= tau <= 1.001), one op fewer
+            in_time = jnp.abs(tau - 0.5) <= 0.501
             tau_c = jnp.clip(tau, 0.0, 1.0)
             dx = pxw - (ax + tau_c * (bx - ax))
             dy = pyw - (ay + tau_c * (by - ay))
             dist2 = dx * dx + dy * dy
             mine = (j >= lo) & (j < hi)  # slot belongs to this lane's cell
-            better = mine & in_time & (dist2 <= rho2) & (dist2 < min_d)
+            better = mine & in_time & (dist2 < min_d)
             min_d = jnp.where(better, dist2, min_d)
             wvx = jnp.where(better, f(_F_VX), wvx)
             wvy = jnp.where(better, f(_F_VY), wvy)
@@ -188,11 +207,11 @@ def _shade_group(
     zero = lambda: jnp.zeros((k2, 128), jnp.float32)
     min_d, wvx, wvy, wcr, wcg, wcb = jax.lax.fori_loop(
         0, depth, w_body,
-        (jnp.full((k2, 128), _BIGF, jnp.float32),
+        (jnp.full((k2, 128), rho2_edge, jnp.float32),
          zero(), zero(), zero(), zero(), zero()),
     )
 
-    occupied = min_d < _BIGF
+    occupied = min_d < rho2_edge
 
     # shading (mirrors raytrace.shade_channels / _compose_cells)
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
@@ -258,7 +277,7 @@ def _shade_group(
         "k", "hc", "wgroups", "use_rays", "retarded", "doppler",
         "beaming", "spectral", "spectral_temp", "rho", "dt",
         "doppler_strength", "ambient", "absorbed_dim",
-        "shadow", "camera_frame", "interpret", "shard",
+        "shadow", "camera_frame", "interpret", "shard", "wc_img",
     ),
 )
 def pixel_pass_pallas(
@@ -287,8 +306,15 @@ def pixel_pass_pallas(
     camera_frame: bool = False,
     interpret: bool = False,
     shard: "tuple | None" = None,  # (Mesh, axis): shard cell rows over chips
+    cell_ids: "jax.Array | None" = None,  # (hc, wcp) i32 per-lane image cell
+    wc_img: int = 0,  # image cells per row (pixel coords from cell_ids)
 ) -> jax.Array:
     """Returns the cell-major planar image (3, hc, k2, wgroups*128).
+
+    `cell_ids` switches the pass to an occupancy-sorted layout (see
+    raytrace._splat_windows sort_cells): lanes are arbitrary image cells and
+    the kernel derives their pixel coords from the id; the caller unscrambles
+    with assemble_sorted.  Incompatible with `shard` (row-major split).
 
     `shard=(mesh, axis)` splits the CELL-ROW grid dimension across the mesh
     via shard_map — the pixel pass is embarrassingly parallel over view
@@ -296,9 +322,10 @@ def pixel_pass_pallas(
     (VERDICT r2 #2: multi-chip used to force the XLA pixel path)."""
     k2 = k * k
     s_slots = vdat_t.shape[0]
+    use_cid = cell_ids is not None
     kernel = functools.partial(
         _pixel_kernel,
-        k=k, use_rays=use_rays, retarded=retarded,
+        k=k, wc_img=wc_img, use_rays=use_rays, retarded=retarded,
         doppler=doppler, beaming=beaming, spectral=spectral,
         spectral_temp=spectral_temp, rho=rho, dt=dt,
         doppler_strength=doppler_strength, ambient=ambient,
@@ -306,14 +333,16 @@ def pixel_pass_pallas(
     )
 
     def wrapped(*refs):
-        if use_rays:
-            scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, sfpx_ref, out_ref = refs
-        else:
-            scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, out_ref = refs
-            sfpx_ref = None
-        kernel(scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, sfpx_ref, out_ref)
+        refs = list(refs)
+        scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref = refs[:5]
+        rest = refs[5:]
+        cid_ref = rest.pop(0) if use_cid else None
+        sfpx_ref = rest.pop(0) if use_rays else None
+        out_ref = rest.pop(0)
+        kernel(scal_ref, depth_ref, vdat_ref, lo_ref, hi_ref, cid_ref,
+               sfpx_ref, out_ref)
 
-    def run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc):
+    def run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, cid_loc, sfpx_loc):
         hc_loc = depth_loc.shape[0]
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -323,6 +352,9 @@ def pixel_pass_pallas(
             pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
         ]
         operands = [scal9, depth_loc, vdat_loc, lo_loc, hi_loc]
+        if use_cid:
+            in_specs.append(pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)))
+            operands.append(cid_loc)
         if use_rays:
             in_specs.append(
                 pl.BlockSpec((1, k2, 128), lambda r, g: (r, 0, g)))
@@ -341,8 +373,10 @@ def pixel_pass_pallas(
     if shard is None:
         scal9 = jnp.concatenate([scal, jnp.zeros((1,), jnp.float32)])
         return run(
-            scal9, depth, vdat_t, wlo[:, None, :], whi[:, None, :], sfpx
+            scal9, depth, vdat_t, wlo[:, None, :], whi[:, None, :],
+            cell_ids[:, None, :] if use_cid else None, sfpx,
         )
+    assert not use_cid, "cell_ids layouts are single-chip (row-major shard)"
 
     from jax.sharding import PartitionSpec as P
 
@@ -366,7 +400,7 @@ def pixel_pass_pallas(
     def run_shard(scal, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc):
         row_off = jax.lax.axis_index(axis) * (hcp // d)
         scal9 = jnp.concatenate([scal, row_off[None].astype(jnp.float32)])
-        return run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, sfpx_loc)
+        return run(scal9, depth_loc, vdat_loc, lo_loc, hi_loc, None, sfpx_loc)
 
     out = shard_map_nocheck(
         run_shard,
@@ -384,5 +418,24 @@ def assemble_cell_major(out, width, height, k, wc_img, planar):
     three, hc, k2, wcp = out.shape
     img = out.reshape(3, hc, k, k, wcp)[:, :, :, :, :wc_img]
     img = img.transpose(0, 1, 2, 4, 3).reshape(3, hc * k, wc_img * k)
+    img = img[:, :height, :width]
+    return img if planar else img.transpose(1, 2, 0)
+
+
+def assemble_sorted(out, perm, width, height, k, wc_img, hc_img, planar):
+    """(3, G, k2, 128) occupancy-sorted kernel output -> image.
+
+    Sorted slot s holds image cell perm[s]; one row gather (n_cells rows of
+    k2*3 floats — the fast row class) unscrambles, then the cell->raster
+    relayout matches assemble_cell_major's."""
+    three, G, k2, lanes = out.shape
+    n_cells = hc_img * wc_img
+    # cell c sits at sorted slot inv[c]: invert by a second sort (cheaper
+    # than a scalar scatter — see forces_pallas.build_sorted_order)
+    _, inv = jax.lax.sort_key_val(perm, jnp.arange(n_cells, dtype=jnp.int32))
+    rows = out.transpose(1, 3, 2, 0).reshape(G * lanes, k2 * 3)
+    rows = rows[inv]  # (n_cells, k2*3)
+    img = rows.reshape(hc_img, wc_img, k, k, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(3, hc_img * k, wc_img * k)
     img = img[:, :height, :width]
     return img if planar else img.transpose(1, 2, 0)
