@@ -57,6 +57,10 @@ class SoftbodyModel:
     # by ~9% at the 116k reference scene (smaller own-span -> smaller merged
     # window; 64 loses to DMA-descriptor overhead — r3 sweep in PERF.md)
     tile: int = 128
+    # sublane rows per window DMA (8 = the classic 1024-element chunk).
+    # Smaller chunks scan fewer overscan candidates per window when rows
+    # are short — the sub-1024-granularity experiment (VERDICT r4 #2)
+    chunk_sub: int = 8
     # BINNING resolution for the Pallas sorted-window path only — physics is
     # exact at any value >= collision_distance (windows are supersets; the
     # in-kernel distance test decides).  Finer rows mean fewer candidates
@@ -114,6 +118,7 @@ class SoftbodyModel:
             pallas_interpret=self.pallas_interpret,
             shard=self.shard,
             bin_resolution=self._bres(),
+            chunk_sub=self.chunk_sub,
         )
 
     def _bres(self) -> float:
@@ -147,6 +152,7 @@ class SoftbodyModel:
                 pallas_interpret=self.pallas_interpret,
                 shard=self.shard,
                 bin_resolution=self._bres(),
+                chunk_sub=self.chunk_sub,
             )
             return p, aux
 

@@ -16,11 +16,15 @@ This is the engine's hottest physics loop — the reference's per-particle
     into contiguous slices, which is exactly what the TPU DMA engine wants.
 
 Layout notes (Mosaic constraints, all discovered the hard way):
-  * Dynamically sliced arrays are 3D with the sliced dim LEADING — the two
-    minor dims carry the (8, 128) tiling, the leading dim slices freely
-    (the paged-KV layout).  Window chunks are (rows, 8, 128) = 1024/step.
-  * Window starts are host-aligned to the 1024-element chunk so every DMA
-    moves whole chunks.
+  * The sorted window planes are 2D (n_rows, 128) in HBM: HBM is untiled,
+    so a (chunk_sub, 128) slice starting at ANY 128-element row is one
+    contiguous linear copy.  Window starts align to 128 elements (round 5;
+    they used to align to the full 1024-element chunk, wasting up to 1023
+    elements of overscan tests per window).
+  * `chunk_sub` = sublane rows per DMA step (default 8 -> the classic
+    1024-element chunk).  Smaller chunks cut the per-window scan quantum
+    (fewer wasted pair tests when rows are short) at the cost of more DMA
+    descriptors — the sub-1024-granularity experiment of VERDICT r4 #2.
 
 Equivalent physics to forces.collision_forces_cells (constant-magnitude
 repulsion within collision_distance, excluding self and bonded neighbors) —
@@ -59,6 +63,7 @@ def _collision_kernel(
     collision_distance: float,
     repulsion: float,
     exclude_bonds: bool,
+    chunk_sub: int = _SUB,
 ):
     if exclude_bonds:
         # full variant: candidate ids ride along so self/bond pairs can be
@@ -97,17 +102,21 @@ def _collision_kernel(
 
     fx = jnp.zeros((tile,), jnp.float32)
     fy = jnp.zeros((tile,), jnp.float32)
+    chunk = chunk_sub * _LANE
     for j in range(n_spans):
-        wrow = wrow_ref[j, t]
+        wrow = wrow_ref[j, t]  # window start in 128-element HBM rows
         lo = wlo_ref[j, t]
         hi = jnp.minimum(whi_ref[j, t], wmax)
         # dynamic trip count: typical spans are 1-2 chunks, wmax the bound
-        n_chunks = jnp.minimum((hi + CHUNK - 1) // CHUNK, wmax // CHUNK)
+        n_chunks = jnp.minimum((hi + chunk - 1) // chunk, wmax // chunk)
 
         def dma(slot, c):
+            # (chunk_sub, 128) from the 2D plane at any 128-row: HBM is
+            # untiled, so this is one contiguous linear copy
             return [
                 pltpu.make_async_copy(
-                    hbm.at[pl.ds(wrow + c, 1)], vref.at[pl.ds(slot, 1)],
+                    hbm.at[pl.ds(wrow + c * chunk_sub, chunk_sub)],
+                    vref.at[slot],
                     sems.at[slot, k],
                 )
                 for hbm, vref, k in hbm_bufs
@@ -130,7 +139,7 @@ def _collision_kernel(
             for cp in dma(slot, c):
                 cp.wait()
             # process the chunk one sublane row at a time: (tile, 128) ops
-            for r in range(_SUB):
+            for r in range(chunk_sub):
                 wx = wx_ref[slot, r, :].reshape(1, _LANE)
                 wy = wy_ref[slot, r, :].reshape(1, _LANE)
                 dx = own_x - wx  # (tile, 128)
@@ -143,7 +152,7 @@ def _collision_kernel(
                 if mask_window:
                     g = (
                         jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                        + c * CHUNK + r * _LANE
+                        + c * chunk + r * _LANE
                     )
                     hit = hit & (g >= lo) & (g < hi)
                 if exclude_bonds:
@@ -197,7 +206,7 @@ class SortedOrder(NamedTuple):
     sorted_idx: jax.Array  # (N,) particle index per sorted row
     inv_idx: jax.Array  # (N,) sorted row per particle (inverse permutation)
     srt_id: jax.Array  # (N,) == sorted_idx but -1 for inactive
-    wrow: jax.Array  # (S, n_tiles) span start CHUNK row (span-major: SMEM)
+    wrow: jax.Array  # (S, n_tiles) span start 128-elem HBM row (span-major)
     wlo: jax.Array  # (S, n_tiles) first valid element offset from chunk start
     whi: jax.Array  # (S, n_tiles) end of valid elements from chunk start
     window_truncated: jax.Array  # () i32
@@ -238,7 +247,7 @@ def prepare_static(order: SortedOrder, neighbors: jax.Array, tile: int = 256,
         .reshape(n_tiles, 1, tile),
         own_nbr2=own_nbr2,
         srt_id_p=jnp.pad(order.srt_id, (0, pad), constant_values=-1)
-        .reshape(-1, _SUB, _LANE),
+        .reshape(-1, _LANE),
     )
 
 
@@ -305,7 +314,10 @@ def build_sorted_order(
     n_live = lbq[-1]
     lb_lo = jnp.minimum(lb_lo, n_live)
     lb_hi = jnp.minimum(lb_hi, n_live)
-    wstart = (lb_lo // CHUNK) * CHUNK
+    # align window starts to 128 elements (one HBM row), not the DMA chunk:
+    # the planes are 2D so a chunk copy can start at any row — up to 896
+    # fewer overscan tests per window than the old 1024-aligned starts
+    wstart = (lb_lo // _LANE) * _LANE
     wlo = lb_lo - wstart
     # clipped-empty spans (lb_hi <= lb_lo) get whi = 0 so the kernel issues
     # ZERO chunks for them instead of DMA-ing and masking a full chunk
@@ -315,7 +327,7 @@ def build_sorted_order(
         sorted_idx=sidx,
         inv_idx=inv,
         srt_id=jnp.where(skey < n_cells, sidx, -1),
-        wrow=(wstart // CHUNK).T,
+        wrow=(wstart // _LANE).T,
         wlo=wlo.T,
         whi=jnp.minimum(whi, wmax).T,
         window_truncated=truncated,
@@ -325,7 +337,7 @@ def build_sorted_order(
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "wmax", "collision_distance", "repulsion",
-                     "exclude_bonds", "interpret", "shard"),
+                     "exclude_bonds", "interpret", "shard", "chunk_sub"),
 )
 def collision_forces_pallas(
     pos: jax.Array,  # (N, 2) current-stage positions (particle order)
@@ -339,6 +351,7 @@ def collision_forces_pallas(
     exclude_bonds: bool = True,
     interpret: bool = False,
     shard: "tuple | None" = None,  # (Mesh, axis_name): shard_map the kernel
+    chunk_sub: int = _SUB,  # sublane rows per window DMA (8 = 1024 elems)
 ) -> jax.Array:
     """Collision forces via the sorted-window kernel; returns (N, 2).
 
@@ -351,6 +364,7 @@ def collision_forces_pallas(
     asked for: production kernels under GSPMD instead of the XLA fallback.
     """
     assert wmax % CHUNK == 0
+    assert chunk_sub in (1, 2, 4, 8), "chunk must divide the 1024-elem CHUNK"
     n = pos.shape[0]
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
@@ -385,34 +399,35 @@ def collision_forces_pallas(
         collision_distance=collision_distance,
         repulsion=repulsion,
         exclude_bonds=exclude_bonds,
+        chunk_sub=chunk_sub,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pl.ANY)
     if exclude_bonds:
         in_specs = [vm, vm, vm, vm, anym, anym, anym]
         scratch = [
-            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((2, _SUB, _LANE), jnp.int32),
+            pltpu.VMEM((2, chunk_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_sub, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
         args = (
             own_x2, own_y2, static.own_id2, static.own_nbr2,
-            srt_x_p.reshape(-1, _SUB, _LANE),
-            srt_y_p.reshape(-1, _SUB, _LANE),
+            srt_x_p.reshape(-1, _LANE),
+            srt_y_p.reshape(-1, _LANE),
             static.srt_id_p,
         )
     else:
         in_specs = [vm, vm, anym, anym]
         scratch = [
-            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
-            pltpu.VMEM((2, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_sub, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
         args = (
             own_x2, own_y2,
-            srt_x_p.reshape(-1, _SUB, _LANE),
-            srt_y_p.reshape(-1, _SUB, _LANE),
+            srt_x_p.reshape(-1, _LANE),
+            srt_y_p.reshape(-1, _LANE),
         )
     def run_kernel(wrow, wlo, whi, *tensor_args):
         nt = tensor_args[0].shape[0]  # tiles THIS shard runs
@@ -460,9 +475,10 @@ def collision_forces_pallas(
             for a in args
         )
         # scalars shard on the tile dim; own-tile tensors on dim 0; the
-        # sorted window planes REPLICATE (full copy per chip)
+        # sorted window planes (2D) REPLICATE (full copy per chip)
         tile_specs = tuple(
-            P(axis, None, None) if a.shape[0] == ntp else P(None, None, None)
+            P(axis, *([None] * (a.ndim - 1))) if a.shape[0] == ntp
+            else P(*([None] * a.ndim))
             for a in targs
         )
         fx_s, fy_s = shard_map_nocheck(

@@ -1047,8 +1047,12 @@ def _splat_windows(
         widx = jnp.minimum(
             st8_s[:, :, None] + jnp.arange(s_rows, dtype=jnp.int32), e8 - 1
         )
-        vdatw = edat8[widx.reshape(-1)].reshape(g, 128, s_rows, 8, 10)
-        vdat_t = vdatw.transpose(2, 3, 4, 0, 1).reshape(s_slots, 10, g * 128)
+        # keep W-rows 80-wide end to end: splitting (8, 10) here made the
+        # gather output's minor dim 10 -> lane-padded 12.8x intermediates
+        # (206 MB traced at 116k); the kernel splits (entry, field) by
+        # static sublane index instead
+        vdatw = edat8[widx.reshape(-1)].reshape(g, 128, s_rows, 80)
+        vdat_t = vdatw.transpose(2, 3, 0, 1).reshape(s_rows, 80, g * 128)
         return (
             vdat_t, lo_s, hi_s, depth_s,
             bin_dropped, entry_dropped, cell_too_small, geom, cid, perm,
@@ -1076,10 +1080,10 @@ def _splat_windows(
         start8[:, :, None] + jnp.arange(s_rows, dtype=jnp.int32), e8 - 1
     )
     widx = jnp.pad(widx, ((0, 0), (0, cpad), (0, 0)))
-    vdatw = edat8[widx.reshape(-1)].reshape(hc_img, wcp, s_rows, 8, 10)
-    vdat_t = vdatw.transpose(2, 3, 4, 0, 1).reshape(
-        s_rows * 8, 10, hc_img * wcp
-    )
+    # W-rows stay 80-wide (see the sort_cells branch): the kernel splits
+    # (entry, field) by static sublane index
+    vdatw = edat8[widx.reshape(-1)].reshape(hc_img, wcp, s_rows, 80)
+    vdat_t = vdatw.transpose(2, 3, 0, 1).reshape(s_rows, 80, hc_img * wcp)
     return (
         vdat_t, lo_p, hi_p, depth,
         bin_dropped, entry_dropped, cell_too_small, geom, None, None,

@@ -13,7 +13,9 @@ composition into one pass.
 Layout (cells-on-lanes, sorted-window fold — round 5):
   * grid = (hc, wgroups): one step per 128 view cells of one cell-row.
   * Pixel ops are (k2, 128) blocks: sublane = pixel-within-cell, lane = cell.
-  * vdat_t is (S, 10, n_cells_pad): slot-major so the candidate loop's
+  * vdat_t is (W, 80, n_cells_pad): W-row-major (8 entries x 10 fields
+    per 80-sublane row — assembled 80-wide end to end so the host-side
+    gather never lane-pads a 10-wide minor dim) and the candidate loop's
     dynamic W-row index rides the LEADING dim (the paged-KV rule, see
     forces_pallas.py); per slot j, field f, the slice [j, f, :] is one
     (1, 128) sublane row broadcast over k2 pixel sublanes — no gathers, no
@@ -55,7 +57,7 @@ _HC_OVER_K = 1.43877688e-2
 def _pixel_kernel(
     scal_ref,  # SMEM (9,) f32: t_now, cxm, cym, cvx, cvy, x0, y0, px_size, row_off
     depth_ref,  # SMEM (hc, wgroups) i32: W-rows to scan in this 128-cell group
-    vdat_ref,  # VMEM (S, 10, 128) sorted-window candidate slots
+    vdat_ref,  # VMEM (W, 80, 128) sorted-window candidate W-rows
     lo_ref,  # VMEM (1, 1, 128) i32: first window slot per cell lane
     hi_ref,  # VMEM (1, 1, 128) i32: end of window slots per cell lane
     cid_ref,  # VMEM (1, 1, 128) i32 image cell id per lane, or None (row-major)
@@ -180,10 +182,10 @@ def _shade_group(
     # per slot; occupied lanes are the ones whose min dropped to <= rho2
     def w_body(w, carry):
         min_d, wvx, wvy, wcr, wcg, wcb = carry
-        slab = vdat_ref[pl.ds(w * 8, 8), :, :]  # (8, 10, 128)
+        slab = vdat_ref[w, :, :]  # (80, 128): 8 entries x 10 fields
         for s in range(8):
             j = w * 8 + s
-            f = lambda i: slab[s, i, :].reshape(1, 128)
+            f = lambda i: slab[s * 10 + i, :].reshape(1, 128)
             ax, ay = f(_F_AX), f(_F_AY)
             bx, by = f(_F_BX), f(_F_BY)
             ta = f(_F_TA)
@@ -281,7 +283,7 @@ def _shade_group(
     ),
 )
 def pixel_pass_pallas(
-    vdat_t: jax.Array,  # (S, 10, hc*wgroups*128) f32 sorted-window slots
+    vdat_t: jax.Array,  # (W, 80, hc*wgroups*128) f32 sorted-window W-rows
     wlo: jax.Array,  # (hc, wgroups*128) i32 first window slot per cell
     whi: jax.Array,  # (hc, wgroups*128) i32 end of window slots per cell
     depth: jax.Array,  # (hc, wgroups) i32 W-rows to scan per group
@@ -321,7 +323,7 @@ def pixel_pass_pallas(
     cells; each chip shades its band of image rows with the same kernel
     (VERDICT r2 #2: multi-chip used to force the XLA pixel path)."""
     k2 = k * k
-    s_slots = vdat_t.shape[0]
+    s_wrows = vdat_t.shape[0]
     use_cid = cell_ids is not None
     kernel = functools.partial(
         _pixel_kernel,
@@ -347,7 +349,7 @@ def pixel_pass_pallas(
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-group depth
-            pl.BlockSpec((s_slots, 10, 128), lambda r, g: (0, 0, r * wgroups + g)),
+            pl.BlockSpec((s_wrows, 80, 128), lambda r, g: (0, 0, r * wgroups + g)),
             pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
             pl.BlockSpec((1, 1, 128), lambda r, g: (r, 0, g)),
         ]
@@ -390,8 +392,8 @@ def pixel_pass_pallas(
     # pad cell rows to the mesh: padded groups get depth 0 (the kernel
     # shades pure background); padded output rows are sliced off
     vdat_p = jnp.pad(
-        vdat_t.reshape(s_slots, 10, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
-    ).reshape(s_slots, 10, hcp * wcp)
+        vdat_t.reshape(s_wrows, 80, hc, wcp), ((0, 0), (0, 0), (0, rpad), (0, 0)),
+    ).reshape(s_wrows, 80, hcp * wcp)
     lo_p = jnp.pad(wlo, ((0, rpad), (0, 0)))[:, None, :]
     hi_p = jnp.pad(whi, ((0, rpad), (0, 0)))[:, None, :]
     sfpx_p = jnp.pad(sfpx, ((0, rpad), (0, 0), (0, 0)))

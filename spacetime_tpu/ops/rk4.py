@@ -216,6 +216,7 @@ def physics_step(
     split_windows: bool = False,  # per-grid-row kernel spans (dense rows)
     shard=None,  # (Mesh, axis): shard_map the Pallas collision kernel
     bin_resolution=None,  # Pallas-path binning res (None = grid_resolution)
+    chunk_sub: int = 8,  # sublane rows per window DMA (forces_pallas)
 ) -> tuple[Particles, StepAux]:
     """Full per-frame physics: cell-table rebuild + integrate.
 
@@ -276,6 +277,7 @@ def physics_step(
                 exclude_bonds=exclude_in_kernel,
                 interpret=pallas_interpret,
                 shard=shard,
+                chunk_sub=chunk_sub,
             )
             k_pp = materials.k_scale if materials is not None else None
             if spring_offsets is not None:

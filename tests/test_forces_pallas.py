@@ -1,6 +1,7 @@
 """Pallas collision kernel vs the O(n^2) oracle (interpret mode on CPU)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from spacetime_tpu import scene
@@ -23,7 +24,8 @@ def _overlapping_scene(rng):
     return particles, pos
 
 
-def test_pallas_collision_matches_oracle(rng):
+@pytest.mark.parametrize("chunk_sub", [8, 2])
+def test_pallas_collision_matches_oracle(rng, chunk_sub):
     particles, pos = _overlapping_scene(rng)
     table = grid_ops.build_cell_table(
         pos, particles.active, DEFAULT_PARAMS.grid_resolution, GRID_DIM, 12
@@ -37,7 +39,7 @@ def test_pallas_collision_matches_oracle(rng):
         pos, particles.neighbors, order, tile=64, wmax=1024,
         collision_distance=DEFAULT_PARAMS.collision_distance,
         repulsion=DEFAULT_PARAMS.collision_repulsion_coefficient,
-        interpret=True,
+        interpret=True, chunk_sub=chunk_sub,
     )
     # oracle: dense collisions only (no springs)
     n = pos.shape[0]
@@ -101,6 +103,7 @@ def test_split_windows_match_merged(rng):
             repulsion=DEFAULT_PARAMS.collision_repulsion_coefficient,
             exclude_bonds=False,
             interpret=True,
+            chunk_sub=2 if split else 8,  # cross-check DMA granularities
         ))
     act = np.asarray(particles.active)
     np.testing.assert_allclose(outs[True][act], outs[False][act],
