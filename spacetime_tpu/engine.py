@@ -240,6 +240,7 @@ class Engine:
         self._pair_boost = 0  # pair_budget doublings (curved routes overflow)
         self._retina_boost = 0  # retina_budget doublings (boundary overflow)
         self._entry_boost = 0  # entry_budget doublings (splat-slice overflow)
+        self._seg_boost = 0  # segments widenings (rank-compaction overflow)
         self._points_wmax = 96  # points-mode rasterizer window cap
         # (adapts like the collision wmax on PointsDiag.window_truncated)
         # Prime the FULL history with inertially-extrapolated past states (the
@@ -632,6 +633,10 @@ class Engine:
         if self._entry_boost and out.entry_budget > 0:
             out = dataclasses.replace(
                 out, entry_budget=out.entry_budget << self._entry_boost
+            )
+        if self._seg_boost and 0 < out.segments < out.band:
+            out = dataclasses.replace(
+                out, segments=min(out.segments << self._seg_boost, out.band)
             )
         # view-derived sweep bound: light reaching the (camera-centered)
         # view rect comes from within corner-distance/h ticks; quantize to
@@ -1063,6 +1068,13 @@ class Engine:
                     "_entry_boost", self.config.render.entry_budget,
                     int(ed), "valid splat entries beyond entry_budget",
                     "whole view cells may be missing",
+                )
+            sd = getattr(diag, "segment_dropped", None)
+            if sd is not None and int(sd) > 0:
+                self._grow_budget(
+                    "_seg_boost", self.config.render.segments,
+                    int(sd), "valid crossings beyond the segments slots",
+                    "fast approachers lose trailing-edge capsules",
                 )
 
     def _grow_budget(self, boost_attr: str, base: int, count: int,

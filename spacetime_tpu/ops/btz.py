@@ -642,7 +642,7 @@ def _render_btz_impl(
     band_truncated = jnp.int32(0)
     for r in route_ids:
         fn = lambda qx, qy, _r=r: delay_fn(qx, qy, cxm, cym, hole, _r)
-        p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
+        p, trunc, _segd = _band_pairs(buf, obj_index, objects, cam, t_now, width,
                                height, params, route_lengths=fn,
                                cull_hull=False)
         plist.append(p)

@@ -216,7 +216,7 @@ def _render_conical_impl(
     plist = []
     band_truncated = jnp.int32(0)
     for fn in route_fns:
-        p, trunc = _band_pairs(buf, obj_index, objects, cam, t_now, width,
+        p, trunc, _segd = _band_pairs(buf, obj_index, objects, cam, t_now, width,
                                height, params, route_lengths=fn,
                                cull_hull=False)
         plist.append(p)

@@ -90,6 +90,14 @@ class RenderParams:
     rho: float = 0.0026  # particle render radius; >= half diagonal spacing fills interiors
     band: int = 6  # cone-crossing ticks kept per particle (see _band_pairs);
     # covers radial speeds to ~0.6c — band_truncated in RenderDiag flags overruns
+    # keep only the first `segments` VALID crossings per particle (rank
+    # compaction, _band_pairs) — `band` slots are still searched, but the
+    # pdata layout downstream shrinks to N*segments rows (the mean valid
+    # count is ~1.1; segments=2 halves the pdata build + compaction sort at
+    # reference-demo scale).  0 = keep all band slots.  Overflow drops the
+    # youngest crossings of fast approachers; RenderDiag.segment_dropped
+    # flags it and the engine widens on evidence.
+    segments: int = 0
     bin_capacity: int = 64  # candidates per spatial hash cell
     num_rays: int = 2048  # 1D retina resolution (occlusion only)
     # pairs per scan chunk in the retina march: bigger chunks amortize the
@@ -225,6 +233,7 @@ class RenderDiag(NamedTuple):
     cell_too_small: jax.Array  # bool: cell_px violates the coverage constraint
     retina_dropped: object = None  # boundary pairs beyond retina_budget
     entry_dropped: object = None  # valid splat entries beyond entry_budget
+    segment_dropped: object = None  # valid crossings beyond params.segments
 
 
 # ---------------------------------------------------------------------------
@@ -626,9 +635,42 @@ def _band_pairs(
             & (jnp.minimum(qay, qby) <= vy1)
         )
 
+    seg_dropped = None
+    k = params.segments
+    if 0 < k < band:
+        # --- per-particle segment compaction ---------------------------
+        # The cone crossing spans (dt + 2*rho) / (dt * (1 - v_r)) ticks, so
+        # while `band` slots must be SEARCHED (fast approachers), the mean
+        # VALID count is ~1.1 at reference-demo scale — most of the
+        # (N, band) pdata rows the stack/transpose and the compaction sort
+        # pay for are invalid.  Rank-select the first `segments` valid
+        # segments per particle with masked sums (pure elementwise — no
+        # sorts, no gathers); particles with more valid segments than slots
+        # lose their YOUNGEST crossings (sub-pixel trailing-edge loss, the
+        # capsule radius rho covers most of it) and are counted in
+        # RenderDiag.segment_dropped, which the engine grows `segments` on.
+        vcount = jnp.sum(valid.astype(jnp.int32), axis=1)
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        seg_dropped = jnp.sum(jnp.maximum(vcount - k, 0))
+
+        def sel(f):
+            f = f.astype(jnp.float32)
+            return jnp.stack(
+                [
+                    jnp.sum(jnp.where(valid & (rank == s), f, 0.0), axis=1)
+                    for s in range(k)
+                ],
+                axis=1,
+            )
+
+        qax, qay = sel(qax), sel(qay)
+        qbx, qby = sel(qbx), sel(qby)
+        pta, pvx, pvy = sel(pta), sel(pvx), sel(pvy)
+        valid = vcount[:, None] > jnp.arange(k, dtype=jnp.int32)[None, :]
+        band = k
+
     far = 2.0e9
     keep = lambda v: jnp.where(valid, v, far).reshape(-1)
-    pobj = jnp.broadcast_to(obj_index[:, None], (n, band))
     # one row gather for all three albedo channels (three scalar (N,)
     # gathers here traced 2.1 ms at 116k; 8-wide rows are the fast class)
     crows = jnp.zeros((objects.base_color.shape[0], 8), jnp.float32)
@@ -654,7 +696,7 @@ def _band_pairs(
         pdata=pdata,
         pair_valid=valid.reshape(-1),
         n_pairs=jnp.sum(valid.astype(jnp.int32)),
-    ), truncated
+    ), truncated, seg_dropped
 
 
 def _compact_pairs_to_budget(pairs: "PairData", budget: int) -> "PairData":
@@ -1034,12 +1076,21 @@ def _splat_windows(
         keyd = (needf.astype(jnp.uint32) << 21) | jnp.arange(
             n_cells, dtype=jnp.uint32
         )
-        perm = (jax.lax.sort(keyd) & jnp.uint32((1 << 21) - 1)).astype(
-            jnp.int32
-        )
-        lo_s = jnp.pad(lo_off.reshape(-1)[perm], (0, npad)).reshape(g, 128)
-        hi_s = jnp.pad(needf[perm], (0, npad)).reshape(g, 128)
-        st8_s = jnp.pad(start8.reshape(-1)[perm], (0, npad)).reshape(g, 128)
+        # carry (lo_all, retained) through the sort as ONE packed payload
+        # operand instead of three post-sort scalar gathers — the gathers
+        # plus their pads traced ~0.5 ms of latency-bound micro-ops at 116k
+        assert n_e8 < (1 << 21), "payload packing: entry slots < 2^21"
+        payload = (
+            lo_all.reshape(-1).astype(jnp.uint32) << 11
+        ) | retained.reshape(-1).astype(jnp.uint32)
+        skey, spay = jax.lax.sort_key_val(keyd, payload)
+        perm = (skey & jnp.uint32((1 << 21) - 1)).astype(jnp.int32)
+        spay = jnp.pad(spay, (0, npad)).reshape(g, 128)
+        lo_all_s = (spay >> 11).astype(jnp.int32)
+        ret_s = (spay & jnp.uint32((1 << 11) - 1)).astype(jnp.int32)
+        st8_s = lo_all_s // 8
+        lo_s = lo_all_s - st8_s * 8
+        hi_s = lo_s + ret_s
         cid = jnp.pad(perm, (0, npad)).reshape(g, 128)
         depth_s = (jnp.max(hi_s, axis=1, keepdims=True) + 7) // 8  # (g, 1)
         assert pairs.pdata.shape[1] == 10, "pdata must be 10-wide"
@@ -1651,8 +1702,9 @@ def _render_retarded_impl(
         )
 
     retina_dropped = None
+    segment_dropped = None
     if params.retarded:
-        pairs_raw, band_truncated = _band_pairs(
+        pairs_raw, band_truncated, segment_dropped = _band_pairs(
             buf, obj_index, objects, cam, t_now, width, height, params,
             # the view-hull cull reasons in ground coordinates; the boosted
             # view's ground footprint extends past the output rect (like the
@@ -1670,7 +1722,13 @@ def _render_retarded_impl(
             # small-config regression in the round-3 config table)
             # boundary pairs compacted to the buffer FRONT; the occlusion
             # retina is then a static prefix slice of the same buffer
-            rmask = jnp.repeat(boundary, params.band)
+            # pdata rows per particle: `segments` when rank compaction is on
+            k_rows = (
+                params.segments
+                if 0 < params.segments < params.band
+                else params.band
+            )
+            rmask = jnp.repeat(boundary, k_rows)
             pairs, n_b = _compact_pairs_two_segment(
                 pairs_raw, rmask, params.pair_budget
             )
@@ -1703,6 +1761,7 @@ def _render_retarded_impl(
             cell_too_small=cell_too_small,
             retina_dropped=retina_dropped,
             entry_dropped=entry_dropped,
+            segment_dropped=segment_dropped,
         )
         return img, diag
 
@@ -1786,6 +1845,7 @@ def _render_retarded_impl(
         cell_too_small=cell_too_small,
         retina_dropped=retina_dropped,
         entry_dropped=entry_dropped,
+        segment_dropped=segment_dropped,
     )
     return img, diag
 

@@ -51,11 +51,11 @@ def test_band_kernel_matches_xla_sweep(monkeypatch):
         lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
     )
 
-    pairs_x, trunc_x = raytrace._band_pairs(
+    pairs_x, trunc_x, _ = raytrace._band_pairs(
         buf, p.object_index, objects, cam, t_now, 64, 64,
         dataclasses.replace(base, backend="xla"),
     )
-    pairs_k, trunc_k = raytrace._band_pairs(
+    pairs_k, trunc_k, _ = raytrace._band_pairs(
         buf, p.object_index, objects, cam, t_now, 64, 64,
         dataclasses.replace(base, backend="pallas_interpret"),
     )
@@ -88,11 +88,11 @@ def test_band_kernel_partial_history_ramp():
     cam = Camera.create(pos=(0.52, 0.5), zoom=0.3)
     t_now = buf.times[buf.cursor]
     base = raytrace.RenderParams(band=4, max_age=128, band_kernel=True)
-    pairs_x, _ = raytrace._band_pairs(
+    pairs_x, _, _sd = raytrace._band_pairs(
         buf, p.object_index, objects, cam, t_now, 48, 48,
         dataclasses.replace(base, backend="xla"),
     )
-    pairs_k, _ = raytrace._band_pairs(
+    pairs_k, _, _sd2 = raytrace._band_pairs(
         buf, p.object_index, objects, cam, t_now, 48, 48,
         dataclasses.replace(base, backend="pallas_interpret"),
     )

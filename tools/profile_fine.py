@@ -83,21 +83,21 @@ def main():
     @jax.jit
     def band_full(b, cam):
         t_now = b.times[b.cursor]
-        pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
+        pairs, trunc, _segd = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         return pairs.pdata
 
     @jax.jit
     def band_compact(b, cam):
         t_now = b.times[b.cursor]
-        pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
+        pairs, trunc, _segd = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
         return pairs.pdata
 
     # --- tables internals: reuse compacted pairs as fixed input ---
     t_now = b.times[b.cursor]
-    pairs0, _ = jax.jit(
+    pairs0, _, _segd = jax.jit(
         lambda b, cam: rt._band_pairs(b, obj_index, objects, cam,
                                       b.times[b.cursor], width, height, params)
     )(b, cam)

@@ -68,7 +68,7 @@ def main():
     @jax.jit
     def stage_pairs(b, cam):
         t_now = t_now_fn(b)
-        pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
+        pairs, trunc, _segd = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
         return pairs.pdata, pairs.pair_valid
@@ -76,7 +76,7 @@ def main():
     @jax.jit
     def stage_tables(b, cam):
         t_now = t_now_fn(b)
-        pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
+        pairs, trunc, _segd = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
         tables, dropped, _ed, _small, geom = rt._build_view_tables(
@@ -86,7 +86,7 @@ def main():
     @jax.jit
     def stage_retina(b, cam):
         t_now = t_now_fn(b)
-        pairs, trunc = rt._band_pairs(b, obj_index, objects, cam, t_now,
+        pairs, trunc, _segd = rt._band_pairs(b, obj_index, objects, cam, t_now,
                                       width, height, params)
         pairs = rt._compact_pairs_to_budget(pairs, params.pair_budget)
         tables, dropped, _ed, _small, geom = rt._build_view_tables(

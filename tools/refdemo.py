@@ -64,10 +64,15 @@ def render_params(h):
     # (probe, round 3) of the 524k capacity — 262144 slices the bin scatter
     # (the top render op, 2.4 ms traced) nearly in half with 15% headroom;
     # RenderDiag.entry_dropped guards the assumption.
+    # segments=2: mean valid crossings/particle measured 1.09 here — rank
+    # compaction halves the pdata rows; segment_dropped guards overflow.
+    # retina_budget=8192: boundary pairs measured ~2.5k (2280 boundary
+    # particles x ~1.1) — one ray_chunk instead of two (-0.35 ms traced).
     return raytrace.RenderParams(
         dt=h, num_rays=4096, pair_budget=131072, entry_budget=262144,
         bin_capacity=96, cell_px=16, occlusion_downsample=2, ray_chunk=8192,
-        band=4, splat_cells=4, retina_budget=16384, max_age=256,
+        band=4, splat_cells=4, retina_budget=8192, max_age=256,
+        segments=2,
     )
 
 
